@@ -1,0 +1,208 @@
+"""EML/XML → annotation-workbook row extraction (stdlib only).
+
+Reproduces the semantics of the reference's per-file extraction
+(``/root/reference/src/spinneret/workbook.py:100-209``) without lxml:
+
+* one input document yields N rows, one per element whose local tag is
+  in the caller's ``elements`` whitelist, scanned in document order per
+  element kind (reference loop at workbook.py:124-125);
+* ``element_xpath`` reproduces lxml's ``ElementTree.getpath`` format —
+  absolute, prefixed where the element is namespaced, with a 1-based
+  ``[k]`` sibling index appended **only** when the parent has more than
+  one child of the same tag (observed: ``/eml:eml/dataset/dataTable``
+  vs ``/eml:eml/dataset/dataTable[1]`` in the reference fixture
+  ``tests/annotation_workbook.tsv``);
+* subject/context rules per workbook.py:164-209 — note the reference
+  tests tag membership with ``tag in "dataset"`` (a substring test,
+  workbook.py:197,204); for every tag the API admits
+  (workbook.py:16-19) that behaves as equality, which is what we
+  implement;
+* ``package_id`` from the root's ``packageId`` attribute
+  (workbook.py:121), ``url = base_url + package_id`` (workbook.py:122).
+
+The extractor is deterministic: the nondeterministic per-row
+``element_id`` (``uuid4`` at workbook.py:131) is *not* generated here —
+the Spark layer adds it via ``F.uuid()`` alongside a deterministic
+twin id (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import io
+import xml.etree.ElementTree as ET
+
+# Column order of the reference workbook, minus the nondeterministic
+# element_id which the Spark layer appends (workbook.py:144-159).
+WORKBOOK_COLUMNS = [
+    "package_id",
+    "url",
+    "element",
+    "element_id",
+    "element_xpath",
+    "context",
+    "subject",
+    "predicate",
+    "predicate_id",
+    "object",
+    "object_id",
+    "author",
+    "date",
+    "comment",
+]
+
+# Entity-kind tags whose subject is their objectName (workbook.py:189-196)
+ENTITY_TAGS = frozenset(
+    [
+        "dataTable",
+        "otherEntity",
+        "spatialVector",
+        "spatialRaster",
+        "storedProcedure",
+        "view",
+    ]
+)
+
+
+def _local(tag: str) -> str:
+    """Local name of a possibly `{uri}local` qualified ET tag."""
+    if tag.startswith("{"):
+        return tag.rsplit("}", 1)[1]
+    return tag
+
+
+def _ns_uri(tag: str) -> str | None:
+    if tag.startswith("{"):
+        return tag[1 : tag.index("}")]
+    return None
+
+
+def _parse_with_ns(xml_bytes: bytes):
+    """Parse XML and collect the document's prefix→uri declarations.
+
+    Returns (root, parent_map, uri→prefix map). Uses iterparse
+    ``start-ns`` events to recover the prefixes lxml would print in
+    ``getpath`` output (e.g. ``eml`` for the EML root namespace).
+    """
+    ns_map: dict[str, str] = {}
+    root = None
+    for event, payload in ET.iterparse(
+        io.BytesIO(xml_bytes), events=("start-ns", "start")
+    ):
+        if event == "start-ns":
+            prefix, uri = payload
+            # first declaration wins (matches lxml's doc-order choice)
+            if uri not in ns_map.values():
+                ns_map[prefix] = uri
+        elif root is None:
+            root = payload
+    if root is None:
+        raise ValueError("empty XML document")
+    uri_to_prefix = {uri: prefix for prefix, uri in ns_map.items() if prefix}
+    parent_map = {child: parent for parent in root.iter() for child in parent}
+    return root, parent_map, uri_to_prefix
+
+
+def _path_segment(elem, parent, uri_to_prefix) -> str:
+    """One getpath segment: ``prefix:local`` or ``local``, with a
+    1-based index iff the parent has >1 same-tag children."""
+    local = _local(elem.tag)
+    uri = _ns_uri(elem.tag)
+    name = f"{uri_to_prefix[uri]}:{local}" if uri and uri in uri_to_prefix else local
+    if parent is None:
+        return name
+    same = [c for c in parent if c.tag == elem.tag]
+    if len(same) > 1:
+        return f"{name}[{same.index(elem) + 1}]"
+    return name
+
+
+def _getpath(elem, parent_map, uri_to_prefix) -> str:
+    """lxml ``ElementTree.getpath`` equivalent (indexed absolute path)."""
+    segments = []
+    node = elem
+    while node is not None:
+        parent = parent_map.get(node)
+        segments.append(_path_segment(node, parent, uri_to_prefix))
+        node = parent
+    return "/" + "/".join(reversed(segments))
+
+
+def _findtext_descendant(elem, local_tag: str) -> str | None:
+    """First descendant (document order) with the local tag → its text.
+
+    Mirrors lxml ``findtext('.//tag')`` (workbook.py:202,205,207).
+    """
+    it = elem.iter()
+    next(it)  # skip self: .// is descendant, not descendant-or-self
+    for node in it:
+        if _local(node.tag) == local_tag:
+            return node.text if node.text is not None else ""
+    return None
+
+
+def _subject_and_context(elem, parent_map) -> tuple[str | None, str | None]:
+    """Tag-dispatched subject/context rules (workbook.py:164-209)."""
+    tag = _local(elem.tag)
+    if tag == "dataset":
+        # subject literal "dataset"; context = parent's packageId attr
+        parent = parent_map.get(elem)
+        context = parent.get("packageId") if parent is not None else None
+        return "dataset", context
+    if tag in ENTITY_TAGS:
+        return _findtext_descendant(elem, "objectName"), "dataset"
+    if tag == "attribute":
+        subject = _findtext_descendant(elem, "attributeName")
+        context = None
+        node = parent_map.get(elem)
+        while node is not None:  # iterancestors(entities): nearest first
+            if _local(node.tag) in ENTITY_TAGS:
+                context = _findtext_descendant(node, "objectName")
+                break
+            node = parent_map.get(node)
+        return subject, context
+    return None, None
+
+
+def extract_workbook_rows(
+    xml_bytes: bytes, elements: list[str], base_url: str
+) -> list[dict]:
+    """All workbook rows for one EML document.
+
+    Output dicts carry every WORKBOOK_COLUMNS key except
+    ``element_id``; annotation slots are ``""`` as in the reference
+    (workbook.py:135-141). Returns ``[]`` for unparseable documents
+    (the distributed pipeline must not die on one bad page; failures
+    are counted in lineage metrics instead).
+    """
+    try:
+        root, parent_map, uri_to_prefix = _parse_with_ns(xml_bytes)
+    except (ET.ParseError, ValueError):
+        return []
+    pkg = root.get("packageId")
+    if pkg is None:
+        return []
+    url = base_url + pkg  # workbook.py:122
+    rows: list[dict] = []
+    for element in elements:  # grouped per kind like workbook.py:124
+        for e in root.iter():
+            if _local(e.tag) != element:
+                continue
+            subject, context = _subject_and_context(e, parent_map)
+            rows.append(
+                {
+                    "package_id": pkg,
+                    "url": url,
+                    "element": element,
+                    "element_xpath": _getpath(e, parent_map, uri_to_prefix),
+                    "context": context if context is not None else "",
+                    "subject": subject if subject is not None else "",
+                    "predicate": "",
+                    "predicate_id": "",
+                    "object": "",
+                    "object_id": "",
+                    "author": "",
+                    "date": "",
+                    "comment": "",
+                }
+            )
+    return rows
