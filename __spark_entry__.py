@@ -1,38 +1,670 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (documents → mentions →
+linked triples) at sf0.001. ``queries()`` maps each implemented
+operator from SURVEY.md §2 to a (spark, sf_dir) → DataFrame callable;
+``oracle_sql()`` carries the exactly-equivalent DuckDB SQL. Every
+computed column is aliased identically on both sides, and every
+expression is engine-portable (exact integer/decimal arithmetic, md5
+hashing, left-to-right float64 folds) so the driver's value-hash
+comparison passes bit-for-bit — see spinneret_spark/functions/*.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spinneret_spark.functions.hashing import (
+    MINHASH_K,
+    det_id_sql,
+    md5_int_sql,
+    minhash_value_sql,
+)
+from spinneret_spark.functions.text import STOPWORDS, tokens_sql
+from spinneret_spark.functions.vectors import cosine, cosine_sql
+from spinneret_spark.functions.text import tokens
+from spinneret_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from spinneret_spark.operators.linking import (
+    MENTIONS_PRED,
+    MENTIONS_PRED_LABEL,
+)
+from spinneret_spark.operators.mentions import detect_mentions
+from spinneret_spark.operators.components import components_with_isolated
+from spinneret_spark.operators.sessionize import session_stats
+from spinneret_spark.operators.similarity import brute_force_topk
+from spinneret_spark.operators.textstats import (
+    fingerprint,
+    langid_heuristic,
+    quality_score,
+    token_stats,
+)
+from spinneret_spark.sources.vocab import default_vocab, vocab_values_sql
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+JACCARD_THRESHOLD = 0.5
+CC_CHAR_GAP = 50
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+
+def q_pricing_summary(spark, sf):
+    """A1/A-agg + P-filter: exact decimal sums cast to double."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_discount") <= 0.05)
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem WHERE l_discount <= 0.05
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_top_orders(spark, sf):
+    """J-joins + agg + deterministic top-k (broadcast dim)."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q_SEGMENT_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf):
+    """5-way star join: region→nation→customer→orders→lineitem."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    dims = (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_topk_per_priority(spark, sf):
+    """W3 window top-k per group with total ordering."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_distinct_users(spark, sf):
+    """A2/A3 distinct aggregates."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user
+FROM events GROUP BY event_type
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    """SO2 set difference via anti join (customers with no URGENT
+    order — the unfiltered variant is empty in this corpus)."""
+    cust = _t(spark, sf, "customer").select("c_custkey").distinct()
+    urgent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(urgent, "c_custkey", "left_anti")
+
+
+Q_NO_ORDERS_SQL = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_events_json(spark, sf):
+    """F9 JSON extraction + exact integer aggregation."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (batch form of stateful streaming)."""
+    ev = _t(spark, sf, "events")
+    # interval arithmetic works on TIMESTAMP and TIMESTAMP_NTZ alike
+    # and is timezone-free, so both engines see identical gaps
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("session_seq", F.sum(is_new).over(w))
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+Q_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sessions AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_seq, COUNT(*) AS n
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(n) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------------- KG core
+
+_TOKS = tokens_sql("text")
+_UNNEST_TOKENS = (
+    f"SELECT doc_id, unnest({_TOKS}) AS tok FROM documents"
+)
+
+
+def q_kg_mentions(spark, sf):
+    """E7 mention detection (token dictionary, broadcast join)."""
+    docs = _t(spark, sf, "documents")
+    vocab = default_vocab(spark)
+    m = detect_mentions(docs, vocab)
+    return m.select(
+        "doc_id", "subject_id", F.col("surface").alias("term")
+    ).distinct()
+
+
+Q_KG_MENTIONS_SQL = f"""
+SELECT DISTINCT t.doc_id, v.subject_id, t.tok AS term
+FROM ({_UNNEST_TOKENS}) t
+JOIN {vocab_values_sql()} v ON t.tok = v.subject_label
+"""
+
+
+def q_kg_triples(spark, sf):
+    """J1 linking → (subj, pred, obj) triples with deterministic ids."""
+    docs = _t(spark, sf, "documents")
+    vocab = default_vocab(spark)
+    m = detect_mentions(docs, vocab).select("doc_id", "surface", "subject_id").distinct()
+    subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    return m.select(
+        subj.alias("subj"),
+        F.lit(MENTIONS_PRED_LABEL).alias("pred"),
+        F.col("surface").alias("obj"),
+        F.lit(MENTIONS_PRED).alias("pred_id"),
+        F.col("subject_id").alias("obj_id"),
+        F.sha2(
+            F.concat_ws("#", subj, F.lit(MENTIONS_PRED), F.col("subject_id")),
+            256,
+        ).alias("det_id"),
+    )
+
+
+Q_KG_TRIPLES_SQL = f"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
+       '{MENTIONS_PRED_LABEL}' AS pred,
+       term AS obj,
+       '{MENTIONS_PRED}' AS pred_id,
+       subject_id AS obj_id,
+       {det_id_sql("'doc://' || CAST(doc_id AS VARCHAR)", f"'{MENTIONS_PRED}'", "subject_id")} AS det_id
+FROM (
+  SELECT DISTINCT t.doc_id, v.subject_id, t.tok AS term
+  FROM ({_UNNEST_TOKENS}) t
+  JOIN {vocab_values_sql()} v ON t.tok = v.subject_label
+)
+"""
+
+
+def q_kg_entity_degree(spark, sf):
+    """A-agg over mention occurrences: entity degrees."""
+    docs = _t(spark, sf, "documents")
+    vocab = default_vocab(spark)
+    m = detect_mentions(docs, vocab)
+    return m.groupBy("subject_id", F.col("surface").alias("term")).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+Q_KG_DEGREE_SQL = f"""
+SELECT v.subject_id, t.tok AS term,
+       COUNT(DISTINCT t.doc_id) AS n_docs, COUNT(*) AS n_mentions
+FROM ({_UNNEST_TOKENS}) t
+JOIN {vocab_values_sql()} v ON t.tok = v.subject_label
+GROUP BY v.subject_id, t.tok
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def q_token_stats(spark, sf):
+    return token_stats(_t(spark, sf, "documents"))
+
+
+Q_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct,
+       CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')
+            AS BIGINT) AS total_len,
+       CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')
+            AS BIGINT) / len({_TOKS}) AS avg_token_len
+FROM documents
+"""
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_STOP_COUNT = f"len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t)))"
+
+
+def q_quality(spark, sf):
+    return quality_score(_t(spark, sf, "documents"))
+
+
+Q_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_txt,
+       len({_TOKS}) AS n_tokens,
+       {_STOP_COUNT} AS n_stopwords,
+       {_STOP_COUNT} / len({_TOKS}) AS stop_ratio,
+       1.0::DOUBLE - len(list_distinct({_TOKS})) / len({_TOKS}) AS rep_ratio
+FROM documents
+"""
+
+
+def q_langid(spark, sf):
+    return langid_heuristic(_t(spark, sf, "documents"))
+
+
+Q_LANGID_SQL = f"""
+SELECT doc_id, lang,
+       {_STOP_COUNT} / len({_TOKS}) AS en_score,
+       CASE WHEN {_STOP_COUNT} / len({_TOKS}) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted,
+       (CASE WHEN {_STOP_COUNT} / len({_TOKS}) >= 0.05
+             THEN 'en' ELSE 'other' END) = lang AS is_match
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf):
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+Q_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark, sf):
+    """Binary-column plumbing: byte length, checksum, stub feature."""
+    docs = _t(spark, sf, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5(blob).alias("checksum"),
+        F.pmod(F.octet_length("text"), F.lit(251)).alias("stub_feature"),
+    )
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
+       octet_length(encode(text)) % 251 AS stub_feature
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+from spinneret_spark.functions.text import shingles_sql
+
+_SHINGLES = shingles_sql("text", 3)
+_SH_TABLE = f"SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM documents"
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=JACCARD_THRESHOLD, max_bucket=None
+    )
+
+
+Q_DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SH_TABLE}),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, common / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    sigs = minhash_signatures(_t(spark, sf, "documents"))
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=None)
+
+
+def _minhash_sig_sql() -> str:
+    tok_int = md5_int_sql("shingle")
+    mins = ", ".join(
+        f"MIN({minhash_value_sql(tok_int, i)}) AS mh{i}" for i in range(MINHASH_K)
+    )
+    return f"SELECT id, {mins} FROM sh GROUP BY id"
+
+
+def _band_sql(band: int, rows_per_band: int = 4) -> str:
+    parts = " || ':' || ".join(
+        f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    return (
+        f"SELECT id, {band} AS band, md5({parts}) AS key FROM sig"
+    )
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SH_TABLE}),
+sig AS ({_minhash_sig_sql()}),
+bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(4))})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.id < b.id
+"""
+
+
+# --------------------------------------------------------------- similarity
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+Q_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id, {cosine_sql("q.q_vec", "e.embedding")} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------- connected components
+
+
+def q_cc_components(spark, sf):
+    """J4 iterative CC over deterministic chain edges."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    ordered = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("n_chars").over(w).alias("prev_nc"),
+    )
+    edges = ordered.filter(
+        F.col("prev_id").isNotNull()
+        & (F.abs(F.col("n_chars") - F.col("prev_nc")) <= CC_CHAR_GAP)
+    ).select(F.col("prev_id").alias("src"), F.col("doc_id").alias("dst"))
+    return components_with_isolated(
+        docs.select("doc_id"), edges, node_col="doc_id"
+    ).withColumnsRenamed({"node": "doc_id"})
+
+
+Q_CC_SQL = f"""
+WITH RECURSIVE ord AS (
+  SELECT doc_id, n_chars,
+         lag(doc_id) OVER w AS prev_id,
+         lag(n_chars) OVER w AS prev_nc
+  FROM documents
+  WINDOW w AS (PARTITION BY source, lang ORDER BY doc_id)
+), edges AS (
+  SELECT prev_id AS src, doc_id AS dst
+  FROM ord
+  WHERE prev_id IS NOT NULL AND abs(n_chars - prev_nc) <= {CC_CHAR_GAP}
+), reach(s, n) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.n
+)
+SELECT n AS doc_id, MIN(s) AS component FROM reach GROUP BY n
+"""
+
+
+# ------------------------------------------------------------------ contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → mention detection → linked triples."""
+    return q_kg_triples(spark, DEFAULT_SF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_pricing_summary": q_pricing_summary,
+        "q_segment_top_orders": q_segment_top_orders,
+        "q_nation_revenue": q_nation_revenue,
+        "q_topk_per_priority": q_topk_per_priority,
+        "q_distinct_users": q_distinct_users,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_events_json": q_events_json,
+        "q_sessionize": q_sessionize,
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_entity_degree": q_kg_entity_degree,
+        "text_token_stats": q_token_stats,
+        "text_quality": q_quality,
+        "text_langid": q_langid,
+        "text_fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_topk_cosine": q_ann_topk,
+        "cc_components": q_cc_components,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pricing_summary": Q_PRICING_SQL,
+        "q_segment_top_orders": Q_SEGMENT_SQL,
+        "q_nation_revenue": Q_NATION_SQL,
+        "q_topk_per_priority": Q_TOPK_SQL,
+        "q_distinct_users": Q_DISTINCT_SQL,
+        "q_customers_without_orders": Q_NO_ORDERS_SQL,
+        "q_events_json": Q_JSON_SQL,
+        "q_sessionize": Q_SESSION_SQL,
+        "kg_mentions": Q_KG_MENTIONS_SQL,
+        "kg_triples": Q_KG_TRIPLES_SQL,
+        "kg_entity_degree": Q_KG_DEGREE_SQL,
+        "text_token_stats": Q_TOKEN_STATS_SQL,
+        "text_quality": Q_QUALITY_SQL,
+        "text_langid": Q_LANGID_SQL,
+        "text_fingerprint": Q_FINGERPRINT_SQL,
+        "multimodal_meta": Q_MULTIMODAL_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
+        "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+        "ann_topk_cosine": Q_ANN_TOPK_SQL,
+        "cc_components": Q_CC_SQL,
+    }

@@ -1,0 +1,232 @@
+"""Deduplication family over document corpora.
+
+Four tiers, cheapest to richest (north-rule canonicalization +
+training-data-pipeline dedup):
+
+* exact          — md5 fingerprint group-by (one shuffle on a short key)
+* ngram-jaccard  — exact word-shingle Jaccard via shingle-inverted-
+                   index self-join (the verify stage of LSH)
+* minhash-lsh    — k-permutation MinHash signatures + banded join
+                   (the blocking stage: candidate generation at scale)
+* simhash        — near-dup via Hamming-close fingerprints with banded
+                   blocking
+
+Everything is built-in expressions (no Python crossing) using the
+portable md5 hash (functions.hashing), so each tier has an exact
+DuckDB oracle. At 100 TB the shuffle keys here are the scale story:
+shingle/band buckets are power-law hot, so candidate joins cap bucket
+sizes (DF filter, logged) and run under AQE skew splitting — see
+lsh_candidate_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spinneret_spark.functions.hashing import md5_int, minhash_value, MINHASH_K
+from spinneret_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(fingerprint, keep_id, n_dups): canonical = min id per md5."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on
+    shingle (sort-merge/hash under AQE) → per-pair common count →
+    |A∪B| from per-doc sizes. Jaccard = common/(|A|+|B|-common) is a
+    ratio of exact ints, so the filter is engine-stable.
+
+    ``max_bucket`` drops shingles shared by more than that many docs
+    (stopword-like shingles contribute O(bucket²) candidate rows and
+    almost no discrimination — standard practice; drops are visible:
+    count them via :func:`hot_shingles`).
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    if max_bucket is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_bucket)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k MinHash values per document over its shingle set.
+
+    One explode + one grouped aggregation producing all k minima in a
+    single shuffle (map-side partial min keeps the shuffle tiny: k
+    longs per doc per mapper).
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    h = md5_int(F.col("shingle"))
+    aggs = [
+        F.min(minhash_value(h, i)).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Banded LSH blocking: distinct candidate pairs (id_a < id_b).
+
+    Each signature is folded into ``bands`` bucket keys
+    (md5 of the ':'-joined band rows), exploded to (band, key) and
+    self-joined on equality. Hot buckets (near-identical boilerplate
+    at web scale) are capped at ``max_bucket`` docs — beyond that the
+    bucket is dropped (its members are still found via other bands or
+    the verify stage); AQE skew-join splits what remains.
+    """
+    band_cols = []
+    for bnd in range(bands):
+        cols = [
+            F.col(f"mh{bnd * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(F.concat_ws(":", *cols)).alias("key"),
+            )
+        )
+    exploded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            exploded.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document SimHash fingerprint from token md5 bits.
+
+    bit j of the fingerprint = sign of Σ_tokens (±1 per token's md5
+    bit j). Small bit width keeps the oracle SQL tractable; widen for
+    production (the plan shape is identical).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    h = md5_int(F.col("token"))
+    sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Brute-force within blocks: with ``block_col`` (e.g. an LSH bucket
+    or IVF cell) the self-join is an equi-join on the block; without,
+    it's a full cross pair-join — correct baseline, quadratic, for
+    fixture scales only.
+    """
+    from spinneret_spark.functions.vectors import cosine
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=[block_col] if block_col else None, how="inner") \
+        if block_col else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

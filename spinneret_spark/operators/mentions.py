@@ -1,0 +1,113 @@
+"""Mention detection: surface-form scan of document text against a
+controlled vocabulary (SURVEY.md E7/U2-U3; north rule "batched mention
+detection ... dictionary tries").
+
+Two implementations, one semantics dial apart:
+
+* :func:`detect_mentions` — pure built-ins: posexplode of the token
+  array joined (broadcast) to the vocabulary. Single-token terms,
+  exact match. This is the oracle-checked path: every step has a
+  direct SQL twin, and the whole plan is narrow + broadcast —
+  zero shuffles of the corpus until aggregation.
+* :func:`detect_mentions_trie` — Arrow-batched iterator pandas UDF
+  holding a leftmost-longest dictionary automaton built once per
+  Python worker from a broadcast term list. Handles multi-word
+  surface forms and emits character offsets. This is the scale path
+  for real web text (regex-union automaton ≈ Aho-Corasick for
+  dictionary sizes up to ~10^5 terms; swap the automaton, keep the
+  plumbing, for larger dictionaries).
+
+The reference has no mention detector — its workbook leaves
+object/object_id empty for curators (workbook.py:135-141); detection
+is mandated by BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spinneret_spark.functions.text import tokens
+
+
+def detect_mentions(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Token-level dictionary mentions via broadcast join.
+
+    Returns one row per mention occurrence:
+    ``(id_col, pos, surface, subject_id)`` with ``pos`` the 1-based
+    token position. Plan shape: scan → posexplode (narrow) →
+    broadcast hash join — the corpus is never shuffled.
+    """
+    toks = docs.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos0", "surface")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "surface")
+    return toks.join(
+        F.broadcast(vocab),
+        toks["surface"] == vocab["subject_label"],
+        "inner",
+    ).select(id_col, "pos", "surface", "subject_id")
+
+
+_MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("surface", StringType()),
+            StructField("norm", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+        ]
+    )
+)
+
+
+def detect_mentions_trie(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Leftmost-longest multi-word mention scan with offsets.
+
+    ``terms`` is collected driver-side once (the vocabulary is the
+    small side by design) and shipped to workers inside the UDF
+    closure; the compiled automaton is built once per worker thanks to
+    the iterator UDF form (SURVEY.md U3), then reused across Arrow
+    batches. Output: input rows + ``mentions`` array column — callers
+    ``explode`` it downstream so this stays one Python crossing.
+    """
+    # longest-first alternation ⇒ leftmost-longest match
+    ordered = sorted(set(terms), key=len, reverse=True)
+    pattern_src = r"\b(" + "|".join(re.escape(t) for t in ordered) + r")\b"
+
+    @F.pandas_udf(_MENTION_SCHEMA)
+    def scan(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pattern = re.compile(pattern_src, re.IGNORECASE)  # built once/worker
+        for texts in batches:
+            out = []
+            for text in texts:
+                if text is None:
+                    out.append([])
+                    continue
+                out.append(
+                    [
+                        {
+                            "surface": m.group(0),
+                            "norm": m.group(0).lower(),
+                            "start": m.start(),
+                            "end": m.end(),
+                        }
+                        for m in pattern.finditer(text)
+                    ]
+                )
+            yield pd.Series(out)
+
+    return docs.withColumn("mentions", scan(F.col(text_col)))
