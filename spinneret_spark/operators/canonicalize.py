@@ -29,7 +29,6 @@ from spinneret_spark.operators.components import components_with_isolated
 from spinneret_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
 )
 
 
@@ -43,23 +42,34 @@ def near_dup_edges(
 ) -> DataFrame:
     """Verified near-duplicate edges (id_a, id_b, jaccard).
 
-    LSH proposes, exact Jaccard disposes: candidates from banding are
-    semi-joined into the exact shingle-Jaccard computation, so the
-    expensive pair verification runs only on the blocked subset.
+    LSH proposes, exact Jaccard disposes — in that order. Verification
+    cost is linear in the *candidate* count: each candidate pair joins
+    to the two documents' shingle arrays and computes
+    |A∩B| / (|A|+|B|-|A∩B|) with array intersection, never touching
+    the quadratic shingle-index self-join (which
+    operators.dedup.ngram_jaccard_pairs provides for exhaustive-exact
+    use cases).
     """
+    from spinneret_spark.functions.text import shingles
+
+    sh_arrays = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     sigs = minhash_signatures(docs, n=shingle_n, id_col=id_col, text_col=text_col)
     candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
-    # verify candidates with exact jaccard (threshold 0 → all pairs
-    # sharing a shingle; we then semi-join to candidates and filter)
-    verified = ngram_jaccard_pairs(
-        docs,
-        threshold=jaccard_threshold,
-        n=shingle_n,
-        id_col=id_col,
-        text_col=text_col,
-        max_bucket=max_bucket,
+    a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            common / (F.size("sh_a") + F.size("sh_b") - common),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
 def canonical_entities(

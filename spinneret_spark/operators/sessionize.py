@@ -22,9 +22,13 @@ def sessionize(
     previous event exceeds ``gap_seconds``. Ordering is made total via
     the tiebreak column, so output is deterministic."""
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    epoch = F.unix_timestamp(F.col(ts_col))
-    gap = epoch - F.lag(epoch).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ alike
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap_seconds} SECONDS")),
+        1,
+    ).otherwise(0)
     return events.withColumn(
         "session_seq", F.sum(is_new).over(w)
     )

@@ -39,7 +39,6 @@ from spinneret_spark.operators.canonicalize import (
     rewrite_triples,
 )
 from spinneret_spark.operators.linking import MENTIONS_PRED, MENTIONS_PRED_LABEL
-from spinneret_spark.operators.mentions import detect_mentions_trie
 from spinneret_spark.sinks import tables as sinks
 from spinneret_spark.sources.vocab import DEFAULT_TERMS, VOCAB_URI_PREFIX
 
@@ -53,35 +52,89 @@ def with_part_id(pages: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
 
 
 def fill_text(pages: DataFrame) -> DataFrame:
-    """U1: deterministic HTML→text where the crawl didn't supply it."""
+    """U1: deterministic HTML→text where the crawl didn't supply it.
+
+    One two-argument UDF (NOT ``F.when(cond, udf(...))`` — that shape
+    makes Catalyst plan the UDF twice) ⇒ exactly one ArrowEvalPython
+    node, asserted in tests/test_plans.py.
+    """
 
     @F.pandas_udf("string")
-    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for htmls in batches:
-            yield htmls.map(
-                lambda b: extract_text(bytes(b)) if b is not None else ""
+    def fill(
+        batches: Iterator[tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        for htmls, texts in batches:
+            out = []
+            for h, t in zip(htmls, texts):
+                if t is not None and t != "":
+                    out.append(t)
+                elif h is not None:
+                    out.append(extract_text(bytes(h)))
+                else:
+                    out.append("")
+            yield pd.Series(out)
+
+    return pages.withColumn("text", fill(F.col("html"), F.col("text")))
+
+
+_MENTION_ROWS_SCHEMA = (
+    "part_id int, url string, lang string, norm string, "
+    "start int, end int"
+)
+
+
+def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
+    """U1+U2 fused: HTML→text + trie mention scan in ONE mapInPandas
+    (one Arrow crossing for the whole hot path — SURVEY.md §3.1).
+    The flatMap (one page → N mentions) happens inside the kernel, so
+    no explode/Generate node is needed either."""
+    import re
+
+    ordered = sorted(set(terms), key=len, reverse=True)
+    pattern_src = r"\b(" + "|".join(re.escape(t) for t in ordered) + r")\b"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern = re.compile(pattern_src, re.IGNORECASE)
+        for pdf in batches:
+            parts, urls, langs, norms, starts, ends = [], [], [], [], [], []
+            for part, url, lang, html, text in zip(
+                pdf["part_id"], pdf["url"], pdf["lang"], pdf["html"], pdf["text"]
+            ):
+                if not text:
+                    text = extract_text(bytes(html)) if html is not None else ""
+                for m in pattern.finditer(text):
+                    parts.append(part)
+                    urls.append(url)
+                    langs.append(lang)
+                    norms.append(m.group(0).lower())
+                    starts.append(m.start())
+                    ends.append(m.end())
+            yield pd.DataFrame(
+                {
+                    "part_id": pd.array(parts, dtype="int32"),
+                    "url": urls,
+                    "lang": langs,
+                    "norm": norms,
+                    "start": pd.array(starts, dtype="int32"),
+                    "end": pd.array(ends, dtype="int32"),
+                }
             )
 
-    return pages.withColumn(
-        "text",
-        F.when(
-            F.col("text").isNull() | (F.col("text") == ""), extract(F.col("html"))
-        ).otherwise(F.col("text")),
+    return pages.select("part_id", "url", "lang", "html", "text").mapInPandas(
+        kernel, schema=_MENTION_ROWS_SCHEMA
     )
 
 
 def pages_to_triples(
     pages: DataFrame, terms: list[str] | None = None
 ) -> DataFrame:
-    """detect → link → emit. Keeps part_id/url provenance columns."""
+    """extract+detect (fused, one Python crossing) → link → emit.
+
+    Expects ``part_id`` present (``with_part_id``); ``text`` may be
+    empty/null — the fused kernel extracts from html on the fly.
+    """
     terms = terms or DEFAULT_TERMS
-    with_mentions = detect_mentions_trie(pages, terms)
-    m = with_mentions.select(
-        "part_id",
-        "url",
-        "lang",
-        F.explode("mentions").alias("m"),
-    ).select("part_id", "url", "lang", "m.norm", "m.start", "m.end")
+    m = _fused_extract_detect(pages, terms)
     # dictionary ids resolve by construction (terms ⊂ vocab); a real
     # vocabulary joins here instead (linking.link_mentions)
     subj = F.col("url")
@@ -115,10 +168,12 @@ def run_extract_phase(
     pages = with_part_id(pages, buckets)
     done = sinks.committed_parts(spark, out_root, "triples")
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
-    triples = pages_to_triples(fill_text(todo), terms)
+    triples = pages_to_triples(todo, terms)  # fused kernel fills text
 
     sinks.write_partitioned(triples, out_root, "triples")
 
+    # commit accounting from the durable files (cheap: parquet scan of
+    # just-written partitions, pruned to part_id)
     written = sinks.read_table(spark, out_root, "triples")
     part_counts = (
         written.join(F.broadcast(done), "part_id", "left_anti")
@@ -159,15 +214,16 @@ def run_canonicalize_phase(
     docs = with_part_id(fill_text(pages), buckets).select(
         F.col("url").alias("doc_id"), "text"
     )
-    edges = near_dup_edges(docs, jaccard_threshold, id_col="doc_id")
-    assignment = canonical_entities(docs, edges, id_col="doc_id")
+    # edges and assignment feed multiple downstream actions (CC loop,
+    # entity rollup, triple rewrite, writes) — cache both, or the
+    # whole LSH/verify lineage recomputes per action
+    edges = near_dup_edges(docs, jaccard_threshold, id_col="doc_id").cache()
+    assignment = canonical_entities(docs, edges, id_col="doc_id").cache()
 
     triples = sinks.read_committed(spark, out_root, "triples")
     canon = rewrite_triples(
-        triples.withColumn("subj", F.col("subj")),
-        assignment.select(
-            F.col("doc_id"), F.col("canonical_id")
-        ),
+        triples,
+        assignment.select(F.col("doc_id"), F.col("canonical_id")),
         subj_prefix="",
         id_col="doc_id",
     )
@@ -185,23 +241,23 @@ def run_canonicalize_phase(
     )
     sinks.write_partitioned(canon_out, out_root, "triples_canonical")
 
-    n_entities = ents.count()
-    n_edges = edges_out.count()
-    n_triples = canon_out.count()
-    for tbl, n in [
-        ("edges", n_edges),
-        ("entities", n_entities),
-        ("triples_canonical", n_triples),
-    ]:
+    counts = {}
+    for tbl in ["edges", "entities", "triples_canonical"]:
         parts = (
             sinks.read_table(spark, out_root, tbl)
-            .select("part_id")
-            .distinct()
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        counts[tbl] = sum(r["n"] for r in parts)
         sinks.append_manifest(
-            spark, out_root, run_id, tbl, [(r["part_id"], -1) for r in parts]
+            spark, out_root, run_id, tbl, [(r["part_id"], r["n"]) for r in parts]
         )
+    n_edges = counts["edges"]
+    n_entities = counts["entities"]
+    n_triples = counts["triples_canonical"]
+    edges.unpersist()
+    assignment.unpersist()
     return {
         "run_id": run_id,
         "n_entities": n_entities,

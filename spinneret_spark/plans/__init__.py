@@ -1,0 +1,19 @@
+"""Plan-audit helpers: assert the physical plans we designed for are
+the plans we got (pushdown reached the scan, joins broadcast, UDF
+crossings counted)."""
+
+from spinneret_spark.plans.audit import (
+    count_exchanges,
+    count_python_crossings,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "has_broadcast_join",
+    "count_exchanges",
+    "count_python_crossings",
+]

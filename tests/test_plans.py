@@ -1,0 +1,72 @@
+"""Physical-plan audits (SURVEY.md §4.2): the scale-critical plan
+properties are asserted, not eyeballed — pushdown reaches the scan,
+the dictionary join broadcasts, the hot path has zero shuffles, and
+Python crossings match the fused-UDF design."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark import pipeline
+from spinneret_spark.operators.mentions import detect_mentions
+from spinneret_spark.plans import (
+    count_exchanges,
+    count_python_crossings,
+    has_broadcast_join,
+    pushed_filters,
+)
+from spinneret_spark.sources.vocab import default_vocab
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    df = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    assert any("lang" in f for f in pushed_filters(df))
+
+
+def test_mention_join_is_broadcast(spark, docs):
+    m = detect_mentions(docs, default_vocab(spark))
+    assert has_broadcast_join(m)
+    # narrow + broadcast: zero shuffle exchanges before aggregation
+    assert count_exchanges(m) == 0
+
+
+def test_hot_path_single_python_crossing(spark):
+    """extract+detect is ONE fused mapInPandas kernel: exactly one
+    JVM↔Python crossing on the hot path (SURVEY.md §3.1)."""
+    pages = spark.createDataFrame(
+        [(1, "u1", None, bytearray(b"<p>spark table</p>"), "", "en")],
+        "page_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    triples = pipeline.pages_to_triples(pipeline.with_part_id(pages))
+    assert count_python_crossings(triples) == 1
+
+
+def test_fill_text_single_crossing(spark):
+    pages = spark.createDataFrame(
+        [(1, "u1", None, bytearray(b"<p>hello</p>"), "", "en")],
+        "page_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    assert count_python_crossings(pipeline.fill_text(pages)) == 1
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    from spinneret_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "l_orderkey" in plan
+    # the fat columns are pruned from ReadSchema
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "l_extendedprice" not in read_schema

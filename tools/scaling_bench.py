@@ -1,0 +1,136 @@
+"""Scaling-evidence harness (BASELINE.md protocol).
+
+A real N vs 4N executor cluster is unavailable in this sandbox, so
+the two-cluster-size criterion is evidenced by running the SAME job on
+the SAME on-disk corpus at two local parallelism levels:
+
+  Run A: local[8]  (N = 8 cores)   → throughput T8  (pages/sec)
+  Run B: local[32] (4N = 32 cores) → throughput T32 (pages/sec)
+  scaling efficiency = (T32 / T8) / 4, target >= 0.8
+
+Each run is a fresh subprocess (own JVM — no warm-cache bleed between
+parallelism levels); a warm-up pass inside each subprocess is excluded
+from timing. Results are appended to BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [n_pages] [--extract-only]
+  default n_pages=400000, full pipeline (extract→link→triples→
+  canonicalize); --extract-only restricts to the per-page phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUN_TEMPLATE = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+from spinneret_spark.session import get_spark
+from spinneret_spark import pipeline
+
+# identical confs at both parallelism levels (BASELINE.md protocol);
+# only the master differs
+spark = get_spark(app_name="scaling-{cores}", master="local[{cores}]",
+                  shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({corpus!r})
+n = pages.count()
+
+# warm-up (JVM JIT, codegen caches, Python workers) — not timed
+warm_root = os.path.join(tempfile.mkdtemp(), "kg")
+pipeline.run(spark, pages.limit(2000), warm_root, "warm", canonicalize={full})
+
+root = os.path.join(tempfile.mkdtemp(), "kg")
+t0 = time.time()
+pipeline.run(spark, pages, root, "scale", canonicalize={full})
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "seconds": dt,
+                               "pages": n, "pages_per_sec": n / dt}}))
+spark.stop()
+"""
+
+
+def run_once(corpus: str, cores: int, full: bool) -> dict:
+    code = _RUN_TEMPLATE.format(
+        repo=REPO, cores=cores, corpus=corpus, full=full
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"run at local[{cores}] produced no RESULT:\n{out.stdout[-2000:]}"
+        f"\n{out.stderr[-4000:]}"
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_pages = int(args[0]) if args else 400_000
+    full = "--extract-only" not in sys.argv
+
+    # materialize the corpus once, on disk, shared by both runs
+    gen_code = f"""
+import sys, os
+sys.path.insert(0, {REPO!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+from spinneret_spark.session import get_spark
+from spinneret_spark.sources.corpusgen import generate_pages, write_pages
+spark = get_spark(app_name="gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+write_pages(generate_pages(spark, {n_pages}, near_dup_fraction=0.02), sys.argv[1])
+spark.stop()
+"""
+    corpus = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "pages")
+    subprocess.run(
+        [sys.executable, "-c", gen_code, corpus], check=True, timeout=3600
+    )
+
+    r8 = run_once(corpus, 8, full)
+    r32 = run_once(corpus, 32, full)
+    eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4
+
+    result = {
+        "n_pages": n_pages,
+        "phase": "extract+link+triples" + ("+canonicalize" if full else ""),
+        "t8_sec": round(r8["seconds"], 1),
+        "t32_sec": round(r32["seconds"], 1),
+        "pages_per_sec_8": round(r8["pages_per_sec"], 1),
+        "pages_per_sec_32": round(r32["pages_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    header_needed = not os.path.exists(md)
+    with open(md, "a") as fh:
+        if header_needed:
+            fh.write(
+                "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n"
+                "Protocol per BASELINE.md: same on-disk corpus, same confs,\n"
+                "fresh JVM per run, warm-up excluded; efficiency = "
+                "(T32/T8)/4.\n\n"
+                "| pages | phase | T8 (s) | T32 (s) | pages/s @8 | "
+                "pages/s @32 | efficiency |\n|---|---|---|---|---|---|---|\n"
+            )
+        fh.write(
+            f"| {result['n_pages']} | {result['phase']} | {result['t8_sec']}"
+            f" | {result['t32_sec']} | {result['pages_per_sec_8']}"
+            f" | {result['pages_per_sec_32']} | {result['scaling_efficiency']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
