@@ -540,6 +540,103 @@ WHERE a.id < b.id
 """
 
 
+def q_dedup_simhash(spark, sf):
+    from spinneret_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    tok_int = md5_int_sql("token")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({tok_int} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
+sums AS (SELECT id, {bit_sums} FROM tok GROUP BY id),
+fp AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+bands AS (
+  SELECT id, simhash, band, (simhash >> (band * 4)) & 15 AS key
+  FROM fp, (VALUES (0), (1), (2), (3)) b(band)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+Q_DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+def q_dedup_minhash_est(spark, sf):
+    """Sketch-side Jaccard estimate on LSH candidate pairs."""
+    from spinneret_spark.operators.dedup import minhash_estimate_pairs
+
+    sigs = minhash_signatures(_t(spark, sf, "documents"))
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=None)
+    return minhash_estimate_pairs(sigs, cands)
+
+
+_EST = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+)
+
+Q_DEDUP_MINHASH_EST_SQL = f"""
+WITH sh AS ({_SH_TABLE}),
+sig AS ({_minhash_sig_sql()}),
+bands AS ({" UNION ALL ".join(_band_sql(b) for b in range(4))}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.id < b.id
+)
+SELECT c.id_a, c.id_b, ({_EST}) / {MINHASH_K} AS est_jaccard
+FROM cands c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+"""
+
+
+def q_rollup_event_stats(spark, sf):
+    """Grouping-set aggregation (rollup) with order-independent stats."""
+    ev = _t(spark, sf, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+def q_intersect_customers(spark, sf):
+    """SO set intersection: customers with both URGENT and 5-LOW orders."""
+    orders = _t(spark, sf, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    return urgent.intersect(low)
+
+
+Q_INTERSECT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
 # --------------------------------------------------------------- similarity
 
 
@@ -565,6 +662,63 @@ SELECT q_id, vec_id, rank, cos FROM (
            AS rank
   FROM scored
 ) WHERE rank <= 10
+"""
+
+
+def q_ann_ivf(spark, sf):
+    """IVF-style approximate top-k: label-seeded centroids, probe 2."""
+    from spinneret_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    min_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    centroids = emb.join(min_ids, ["vec_id", "label"]).select(
+        F.col("label").cast("int").alias("cell_id"),
+        F.col("embedding").alias("cell_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+Q_ANN_IVF_SQL = f"""
+WITH centroids AS (
+  SELECT e.label AS cell_id, e.embedding AS cell_vec
+  FROM embeddings e
+  JOIN (SELECT label, MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) m
+    ON e.vec_id = m.vec_id AND e.label = m.label
+), assigned AS (
+  SELECT vec_id, cell_id, embedding FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cosine_sql("e.embedding", "c.cell_vec")} DESC,
+                      c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+), q_cells AS (
+  SELECT q_id, q_vec, cell_id FROM (
+    SELECT q.q_id, q.q_vec, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {cosine_sql("q.q_vec", "c.cell_vec")} DESC,
+                      c.cell_id ASC) AS nth
+    FROM q CROSS JOIN centroids c
+  ) WHERE nth <= 2
+), scored AS (
+  SELECT qc.q_id, a.vec_id,
+         {cosine_sql("qc.q_vec", "a.embedding")} AS cos
+  FROM assigned a JOIN q_cells qc ON a.cell_id = qc.cell_id
+  WHERE a.vec_id <> qc.q_id
+)
+SELECT q_id, vec_id, rank, cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
 
 
@@ -639,8 +793,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_est": q_dedup_minhash_est,
+        "dedup_simhash": q_dedup_simhash,
         "ann_topk_cosine": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "cc_components": q_cc_components,
+        "q_rollup_event_stats": q_rollup_event_stats,
+        "q_intersect_customers": q_intersect_customers,
     }
 
 
@@ -665,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
         "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+        "dedup_minhash_est": Q_DEDUP_MINHASH_EST_SQL,
+        "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "ann_topk_cosine": Q_ANN_TOPK_SQL,
+        "ann_ivf": Q_ANN_IVF_SQL,
         "cc_components": Q_CC_SQL,
+        "q_rollup_event_stats": Q_ROLLUP_SQL,
+        "q_intersect_customers": Q_INTERSECT_SQL,
     }

@@ -38,6 +38,12 @@ def connected_components(
         .distinct()
     )
     sym = sym.localCheckpoint()
+    if sym.limit(1).count() == 0:
+        # no edges → every node is its own component; skip the loop
+        # (saves several driver-serial jobs on sparse corpora)
+        return sym.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
+        )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -196,6 +196,81 @@ def simhash_fingerprints(
     return sums.select("id", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hamming-close SimHash pairs via banded blocking.
+
+    By pigeonhole, two fingerprints within ``max_hamming < bands``
+    bit flips agree on at least one of ``bands`` bit-slices, so the
+    candidate join is an equi-join on (band, slice-value) — never a
+    cross join. Exact Hamming distance (bit_count of xor) filters the
+    candidates.
+    """
+    fp = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col)
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = fp.select("id", "simhash", F.explode(slices).alias("bk")).select(
+        "id", "simhash", "bk.band", "bk.key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def minhash_estimate_pairs(
+    signatures: DataFrame,
+    candidates: DataFrame,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: fraction of agreeing
+    MinHash components (the cheap sketch-side estimate that decides
+    which pairs earn exact verification)."""
+    a = signatures.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    b = signatures.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(k)).alias("est_jaccard"))
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
