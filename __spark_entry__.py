@@ -764,6 +764,45 @@ SELECT n AS doc_id, MIN(s) AS component FROM reach GROUP BY n
 """
 
 
+# ----------------------------------------------------------- workbook (REF)
+
+_EML_DIR = "/root/reference/src/spinneret/data/eml"
+_EML_BASE = "https://portal.edirepository.org/nis/metadataviewer?packageid="
+
+
+def q_workbook_eml(spark, sf):
+    """The reference's flagship operator (workbook.create) over its own
+    3-document corpus, shaped as the mandated pages table. Rows-only
+    driver check (XML extraction is not SQL-expressible); the strict
+    golden-parity gate lives in tests/test_workbook_golden.py."""
+    import datetime
+    import os
+
+    from spinneret_spark.operators.workbook import create_workbook
+
+    rows = []
+    for name in sorted(os.listdir(_EML_DIR)):
+        with open(os.path.join(_EML_DIR, name), "rb") as fh:
+            rows.append(
+                (
+                    "file://" + name,
+                    datetime.datetime(2024, 1, 1),
+                    bytearray(fh.read()),
+                    "",
+                    "en",
+                )
+            )
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    return create_workbook(
+        pages,
+        ["dataset", "dataTable", "otherEntity", "attribute"],
+        _EML_BASE,
+    ).drop("element_id")  # uuid4 column: nondeterministic by contract
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -800,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "q_rollup_event_stats": q_rollup_event_stats,
         "q_intersect_customers": q_intersect_customers,
+        # rows-only (non-SQL-expressible: XML tree extraction)
+        "workbook_eml": q_workbook_eml,
     }
 
 
