@@ -60,6 +60,54 @@ def detect_mentions(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
     ).select(id_col, "pos", "surface", "subject_id")
 
 
+class DictMatcher:
+    """Leftmost-longest dictionary matcher, hash-window based.
+
+    Matching cost is O(tokens × max_term_words) hash lookups,
+    independent of dictionary size — the property that lets one
+    broadcast ~10^6-term vocabularies where a regex alternation
+    (O(|dict|) states to compile, pathological scan costs) or a
+    pure-Python Aho-Corasick (pointer-chasing per char) would not
+    keep up inside Arrow batches. Word-boundary semantics: tokens are
+    ``\\w+`` runs; terms match on exact lowercase token sequences.
+    Non-overlapping, leftmost-longest (ties to the longer term),
+    matching the regex-union reference behavior for alphanumeric
+    terms.
+    """
+
+    _TOKEN_RE = re.compile(r"\w+")
+
+    def __init__(self, terms: list[str]):
+        self.term_set = set()
+        self.max_words = 1
+        for t in terms:
+            toks = tuple(w.lower() for w in self._TOKEN_RE.findall(t))
+            if toks:
+                self.term_set.add(toks)
+                self.max_words = max(self.max_words, len(toks))
+
+    def find(self, text: str) -> list[tuple[str, int, int]]:
+        """[(normalized_surface, start, end)] over one document."""
+        toks = [
+            (m.group(0).lower(), m.start(), m.end())
+            for m in self._TOKEN_RE.finditer(text)
+        ]
+        out: list[tuple[str, int, int]] = []
+        i, n = 0, len(toks)
+        while i < n:
+            matched = 0
+            for width in range(min(self.max_words, n - i), 0, -1):
+                window = tuple(t[0] for t in toks[i : i + width])
+                if window in self.term_set:
+                    out.append(
+                        (" ".join(window), toks[i][1], toks[i + width - 1][2])
+                    )
+                    matched = width
+                    break
+            i += matched or 1
+        return out
+
+
 _MENTION_SCHEMA = ArrayType(
     StructType(
         [
@@ -79,18 +127,15 @@ def detect_mentions_trie(
 
     ``terms`` is collected driver-side once (the vocabulary is the
     small side by design) and shipped to workers inside the UDF
-    closure; the compiled automaton is built once per worker thanks to
-    the iterator UDF form (SURVEY.md U3), then reused across Arrow
+    closure; the DictMatcher is built once per worker thanks to the
+    iterator UDF form (SURVEY.md U3), then reused across Arrow
     batches. Output: input rows + ``mentions`` array column — callers
     ``explode`` it downstream so this stays one Python crossing.
     """
-    # longest-first alternation ⇒ leftmost-longest match
-    ordered = sorted(set(terms), key=len, reverse=True)
-    pattern_src = r"\b(" + "|".join(re.escape(t) for t in ordered) + r")\b"
 
     @F.pandas_udf(_MENTION_SCHEMA)
     def scan(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        pattern = re.compile(pattern_src, re.IGNORECASE)  # built once/worker
+        matcher = DictMatcher(terms)  # built once per worker
         for texts in batches:
             out = []
             for text in texts:
@@ -100,12 +145,12 @@ def detect_mentions_trie(
                 out.append(
                     [
                         {
-                            "surface": m.group(0),
-                            "norm": m.group(0).lower(),
-                            "start": m.start(),
-                            "end": m.end(),
+                            "surface": text[s:e],
+                            "norm": norm,
+                            "start": s,
+                            "end": e,
                         }
-                        for m in pattern.finditer(text)
+                        for norm, s, e in matcher.find(text)
                     ]
                 )
             yield pd.Series(out)

@@ -84,17 +84,16 @@ _MENTION_ROWS_SCHEMA = (
 
 
 def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
-    """U1+U2 fused: HTML→text + trie mention scan in ONE mapInPandas
-    (one Arrow crossing for the whole hot path — SURVEY.md §3.1).
-    The flatMap (one page → N mentions) happens inside the kernel, so
-    no explode/Generate node is needed either."""
-    import re
-
-    ordered = sorted(set(terms), key=len, reverse=True)
-    pattern_src = r"\b(" + "|".join(re.escape(t) for t in ordered) + r")\b"
+    """U1+U2 fused: HTML→text + dictionary mention scan in ONE
+    mapInPandas (one Arrow crossing for the whole hot path —
+    SURVEY.md §3.1). The flatMap (one page → N mentions) happens
+    inside the kernel, so no explode/Generate node is needed either.
+    DictMatcher keeps per-token cost dictionary-size-independent
+    (operators/mentions.py)."""
+    from spinneret_spark.operators.mentions import DictMatcher
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pattern = re.compile(pattern_src, re.IGNORECASE)
+        matcher = DictMatcher(terms)  # built once per worker
         for pdf in batches:
             parts, urls, langs, norms, starts, ends = [], [], [], [], [], []
             for part, url, lang, html, text in zip(
@@ -102,13 +101,13 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
             ):
                 if not text:
                     text = extract_text(bytes(html)) if html is not None else ""
-                for m in pattern.finditer(text):
+                for norm, s, e in matcher.find(text):
                     parts.append(part)
                     urls.append(url)
                     langs.append(lang)
-                    norms.append(m.group(0).lower())
-                    starts.append(m.start())
-                    ends.append(m.end())
+                    norms.append(norm)
+                    starts.append(s)
+                    ends.append(e)
             yield pd.DataFrame(
                 {
                     "part_id": pd.array(parts, dtype="int32"),
