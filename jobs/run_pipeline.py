@@ -1,0 +1,67 @@
+"""Cluster entry point: spark-submit the KG pipeline.
+
+    zip -r spinneret_spark.zip spinneret_spark
+    spark-submit --py-files spinneret_spark.zip \
+        jobs/run_pipeline.py \
+        --pages  s3://bucket/crawl/pages \
+        --out    s3://bucket/kg \
+        --run-id crawl-2024-26 \
+        --buckets 4096
+
+Creates/uses its own SparkSession from spark-submit's conf (master,
+executor sizing come from the submit command, not this script), runs
+the resumable extract→link→triples phase and the canonicalization
+phase, and prints one JSON line of run stats. Re-submitting the same
+command after a failure resumes from the last committed partition
+(_manifest anti-join; see spinneret_spark/pipeline.py).
+
+Sizing guidance for the 10^12-document tier: ``--buckets`` is the
+checkpoint/commit unit — pick pages-per-bucket so one bucket's html
+fits an executor (~1-4 GB of raw html per bucket); shuffle
+partitions default to spark.sql.shuffle.partitions from the submit
+conf; AQE re-coalesces at runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages table path/URI")
+    ap.add_argument("--out", required=True, help="output root for kg tables")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=1024)
+    ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from spinneret_spark import pipeline
+
+    spark = SparkSession.builder.appName(
+        f"spinneret-kg-{args.run_id}"
+    ).getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    pages = spark.read.parquet(args.pages)
+    stats = pipeline.run(
+        spark,
+        pages,
+        args.out,
+        args.run_id,
+        buckets=args.buckets,
+        canonicalize=not args.no_canonicalize,
+    )
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
