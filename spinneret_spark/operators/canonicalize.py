@@ -52,11 +52,28 @@ def near_dup_edges(
     """
     from spinneret_spark.functions.text import shingles
 
-    sh_arrays = docs.select(
+    sigs = minhash_signatures(
+        docs, n=shingle_n, id_col=id_col, text_col=text_col, fast_hash=True
+    )
+    # candidates feed three consumers (both join sides + id pruning);
+    # materialize eagerly once or the minhash lineage recomputes three
+    # times (lazy .cache() alone races its own first fill when all
+    # three consumers sit in one query)
+    candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket).localCheckpoint()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # shingle arrays only for docs that actually appear in a candidate
+    # pair — the semi-join runs BEFORE the shingle projection, so the
+    # (typically tiny) near-dup subset is the only part re-tokenized
+    docs_small = docs.join(
+        cand_ids, docs[id_col] == cand_ids["id"], "left_semi"
+    )
+    sh_arrays = docs_small.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sigs = minhash_signatures(docs, n=shingle_n, id_col=id_col, text_col=text_col)
-    candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))

