@@ -12,7 +12,13 @@ comparison passes bit-for-bit — see spinneret_spark/functions/*.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the sibling package importable no matter where the driver's
+# interpreter was launched from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
