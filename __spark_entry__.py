@@ -31,7 +31,6 @@ from spinneret_spark.functions.hashing import (
 )
 from spinneret_spark.functions.text import STOPWORDS, tokens_sql
 from spinneret_spark.functions.vectors import cosine, cosine_sql
-from spinneret_spark.functions.text import tokens
 from spinneret_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -44,7 +43,6 @@ from spinneret_spark.operators.linking import (
 )
 from spinneret_spark.operators.mentions import detect_mentions
 from spinneret_spark.operators.components import components_with_isolated
-from spinneret_spark.operators.sessionize import session_stats
 from spinneret_spark.operators.similarity import brute_force_topk
 from spinneret_spark.operators.textstats import (
     fingerprint,
