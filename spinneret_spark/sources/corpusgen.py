@@ -86,18 +86,23 @@ def _render(title: str, paras: list[str]) -> tuple[str, str]:
     return html, text
 
 
-def _make_page(seed: int, page_id: int, near_dup_fraction: float):
+def _make_page(
+    seed: int, page_id: int, near_dup_fraction: float, n_templates: int = 1
+):
     rng = np.random.RandomState((seed * 1_000_003 + page_id) % (2**31 - 1))
     is_dup = rng.rand() < near_dup_fraction
     if is_dup:
-        # clone a shared template, substitute a few tokens
-        template_rng = np.random.RandomState(seed % (2**31 - 1))
+        # clone one of n_templates shared templates, substitute a few
+        # tokens. n_templates=1 = one mega-cluster (the skew/salting
+        # stress knob); larger values give web-realistic cluster sizes
+        tmpl = rng.randint(0, n_templates)
+        template_rng = np.random.RandomState((seed + 7919 * tmpl) % (2**31 - 1))
         words = _page_words(template_rng, 120)
         n_sub = rng.randint(0, 6)
         for _ in range(n_sub):
             pos = rng.randint(0, len(words))
             words[pos] = _FILLER[rng.randint(0, len(_FILLER))]
-        title = "shared template page"
+        title = f"shared template page {tmpl}"
         host = "dup-farm.example.org"
     else:
         words = _page_words(rng, int(rng.randint(60, 200)))
@@ -119,13 +124,22 @@ def generate_pages(
     near_dup_fraction: float = 0.08,
     include_reference_eml: bool = True,
     num_partitions: int | None = None,
+    n_templates: int | None = None,
 ) -> DataFrame:
-    """Distributed deterministic pages table."""
+    """Distributed deterministic pages table.
+
+    ``n_templates`` controls near-dup cluster size: defaults to
+    ~40 clones per cluster (web-realistic); pass 1 to plant a single
+    mega-cluster for skew stress tests.
+    """
+    if n_templates is None:
+        n_templates = max(1, int(n_pages * near_dup_fraction) // 40)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _make_page(seed, int(i), near_dup_fraction) for i in pdf["id"]
+                _make_page(seed, int(i), near_dup_fraction, n_templates)
+                for i in pdf["id"]
             ]
             out = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]

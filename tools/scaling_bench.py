@@ -48,9 +48,13 @@ pipeline.run(spark, pages.limit(2000), warm_root, "warm", canonicalize={full})
 
 root = os.path.join(tempfile.mkdtemp(), "kg")
 t0 = time.time()
-pipeline.run(spark, pages, root, "scale", canonicalize={full})
+stats = pipeline.run(spark, pages, root, "scale", canonicalize={full})
 dt = time.time() - t0
+extract_s = stats["seconds"]
+canon_s = stats.get("canonicalize", {{}}).get("seconds")
 print("RESULT " + json.dumps({{"cores": {cores}, "seconds": dt,
+                               "extract_seconds": extract_s,
+                               "canonicalize_seconds": canon_s,
                                "pages": n, "pages_per_sec": n / dt}}))
 spark.stop()
 """
@@ -106,6 +110,8 @@ spark.stop()
         "phase": "extract+link+triples" + ("+canonicalize" if full else ""),
         "t8_sec": round(r8["seconds"], 1),
         "t32_sec": round(r32["seconds"], 1),
+        "t8_phases": [r8.get("extract_seconds"), r8.get("canonicalize_seconds")],
+        "t32_phases": [r32.get("extract_seconds"), r32.get("canonicalize_seconds")],
         "pages_per_sec_8": round(r8["pages_per_sec"], 1),
         "pages_per_sec_32": round(r32["pages_per_sec"], 1),
         "scaling_efficiency": round(eff, 3),
