@@ -669,6 +669,27 @@ SELECT q_id, vec_id, rank, cos FROM (
 """
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (brute-force baseline;
+    block-scoped variant in operators/dedup.embedding_near_dup_pairs)."""
+    from spinneret_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4
+    )
+
+
+Q_DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql("a.embedding", "b.embedding")} AS c
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cos FROM s WHERE c >= 0.4
+"""
+
+
 def q_ann_ivf(spark, sf):
     """IVF-style approximate top-k: label-seeded centroids, probe 2."""
     from spinneret_spark.operators.similarity import ivf_topk
@@ -838,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_est": q_dedup_minhash_est,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
         "ann_topk_cosine": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "cc_components": q_cc_components,
@@ -871,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
         "dedup_minhash_est": Q_DEDUP_MINHASH_EST_SQL,
         "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+        "dedup_embedding_cosine": Q_DEDUP_EMBEDDING_SQL,
         "ann_topk_cosine": Q_ANN_TOPK_SQL,
         "ann_ivf": Q_ANN_IVF_SQL,
         "cc_components": Q_CC_SQL,
