@@ -89,8 +89,7 @@ def fill_text(pages: DataFrame, probe: bool = True) -> DataFrame:
 
 
 _MENTION_ROWS_SCHEMA = (
-    "part_id int, url string, lang string, norm string, "
-    "start int, end int"
+    "part_id int, url string, lang string, norm string"
 )
 
 
@@ -100,33 +99,38 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
     SURVEY.md §3.1). The flatMap (one page → N mentions) happens
     inside the kernel, so no explode/Generate node is needed either.
     DictMatcher keeps per-token cost dictionary-size-independent
-    (operators/mentions.py)."""
+    (operators/mentions.py).
+
+    Mentions are deduped PER PAGE inside the kernel: a page's
+    occurrences all live in its own input row, so document-level
+    distinctness never needs a cluster-wide shuffle — this is the
+    difference between shuffling every occurrence (~40/page) and
+    shuffling nothing. Offset-level mentions come from
+    operators.mentions.detect_mentions_trie when needed.
+    """
     from spinneret_spark.operators.mentions import DictMatcher
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = DictMatcher(terms)  # built once per worker
         for pdf in batches:
-            parts, urls, langs, norms, starts, ends = [], [], [], [], [], []
+            parts, urls, langs, norms = [], [], [], []
             for part, url, lang, html, text in zip(
                 pdf["part_id"], pdf["url"], pdf["lang"], pdf["html"], pdf["text"]
             ):
                 if not text:
                     text = extract_text(bytes(html)) if html is not None else ""
-                for norm, s, e in matcher.find(text):
+                seen = {norm for norm, _, _ in matcher.find(text)}
+                for norm in sorted(seen):
                     parts.append(part)
                     urls.append(url)
                     langs.append(lang)
                     norms.append(norm)
-                    starts.append(s)
-                    ends.append(e)
             yield pd.DataFrame(
                 {
                     "part_id": pd.array(parts, dtype="int32"),
                     "url": urls,
                     "lang": langs,
                     "norm": norms,
-                    "start": pd.array(starts, dtype="int32"),
-                    "end": pd.array(ends, dtype="int32"),
                 }
             )
 
@@ -142,26 +146,25 @@ def pages_to_triples(
 
     Expects ``part_id`` present (``with_part_id``); ``text`` may be
     empty/null — the fused kernel extracts from html on the fly.
+    No shuffle anywhere in this plan: per-page dedup happens in the
+    kernel, and rows are already distinct by (subj, obj) because a
+    subj IS its page's url.
     """
     terms = terms or DEFAULT_TERMS
     m = _fused_extract_detect(pages, terms)
     # dictionary ids resolve by construction (terms ⊂ vocab); a real
     # vocabulary joins here instead (linking.link_mentions)
     subj = F.col("url")
-    return (
-        m.select(
-            "part_id",
-            subj.alias("subj"),
-            F.lit(MENTIONS_PRED_LABEL).alias("pred"),
-            F.col("norm").alias("obj"),
-            F.lit(MENTIONS_PRED).alias("pred_id"),
-            F.concat(F.lit(VOCAB_URI_PREFIX), F.col("norm")).alias("obj_id"),
-            "lang",
-        )
-        .distinct()
-        .withColumn(
-            "det_id", det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
-        )
+    return m.select(
+        "part_id",
+        subj.alias("subj"),
+        F.lit(MENTIONS_PRED_LABEL).alias("pred"),
+        F.col("norm").alias("obj"),
+        F.lit(MENTIONS_PRED).alias("pred_id"),
+        F.concat(F.lit(VOCAB_URI_PREFIX), F.col("norm")).alias("obj_id"),
+        "lang",
+    ).withColumn(
+        "det_id", det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
     )
 
 
@@ -180,7 +183,10 @@ def run_extract_phase(
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
     triples = pages_to_triples(todo, terms)  # fused kernel fills text
 
-    sinks.write_partitioned(triples, out_root, "triples")
+    # no repartition: the plan upstream is shuffle-free, and pages
+    # corpora are bucketed by part_id on disk (corpusgen.write_pages),
+    # so tasks already align with output partitions
+    sinks.write_partitioned(triples, out_root, "triples", shuffle=False)
 
     # commit accounting from the durable files (cheap: parquet scan of
     # just-written partitions, pruned to part_id)

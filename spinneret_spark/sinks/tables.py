@@ -49,11 +49,20 @@ def lineage_path(root: str) -> str:
     return os.path.join(root, "_lineage")
 
 
-def write_partitioned(df: DataFrame, root: str, table_name: str) -> None:
-    """Dynamic-partition-overwrite write of ``part_id=`` dirs."""
+def write_partitioned(
+    df: DataFrame, root: str, table_name: str, shuffle: bool = True
+) -> None:
+    """Dynamic-partition-overwrite write of ``part_id=`` dirs.
+
+    ``shuffle=False`` skips the pre-write repartition: correct either
+    way (the dynamic-partition writer sorts rows by partition column
+    within each task), and when the input is already laid out by
+    part_id — a corpus written by ``corpusgen.write_pages``, or any
+    resume re-run — the repartition would be a full-table shuffle
+    bought for nothing but file-count hygiene."""
+    out = df.repartition("part_id") if shuffle else df
     (
-        df.repartition("part_id")
-        .write.partitionBy("part_id")
+        out.write.partitionBy("part_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(os.path.join(root, table_name))

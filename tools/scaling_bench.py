@@ -31,6 +31,8 @@ _RUN_TEMPLATE = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
+os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
 from spinneret_spark.session import get_spark
 from spinneret_spark import pipeline
 
