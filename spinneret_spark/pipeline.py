@@ -110,15 +110,31 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
     """
     from spinneret_spark.operators.mentions import DictMatcher
 
+    # html is the fat column; ship it through Arrow only if some row
+    # actually needs extraction (same probe trick as fill_text) —
+    # on a pre-extracted corpus this halves Python-bound bytes
+    need_html = (
+        pages.where(F.col("text").isNull() | (F.col("text") == ""))
+        .limit(1)
+        .count()
+        > 0
+    )
+    cols = ["part_id", "url", "lang", "text"] + (["html"] if need_html else [])
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = DictMatcher(terms)  # built once per worker
         for pdf in batches:
+            htmls = pdf["html"] if need_html else pdf["url"]  # dummy align
             parts, urls, langs, norms = [], [], [], []
-            for part, url, lang, html, text in zip(
-                pdf["part_id"], pdf["url"], pdf["lang"], pdf["html"], pdf["text"]
+            for part, url, lang, text, html in zip(
+                pdf["part_id"], pdf["url"], pdf["lang"], pdf["text"], htmls
             ):
                 if not text:
-                    text = extract_text(bytes(html)) if html is not None else ""
+                    text = (
+                        extract_text(bytes(html))
+                        if need_html and html is not None
+                        else ""
+                    )
                 seen = {norm for norm, _, _ in matcher.find(text)}
                 for norm in sorted(seen):
                     parts.append(part)
@@ -134,9 +150,7 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
                 }
             )
 
-    return pages.select("part_id", "url", "lang", "html", "text").mapInPandas(
-        kernel, schema=_MENTION_ROWS_SCHEMA
-    )
+    return pages.select(*cols).mapInPandas(kernel, schema=_MENTION_ROWS_SCHEMA)
 
 
 def pages_to_triples(

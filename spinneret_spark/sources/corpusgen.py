@@ -87,7 +87,11 @@ def _render(title: str, paras: list[str]) -> tuple[str, str]:
 
 
 def _make_page(
-    seed: int, page_id: int, near_dup_fraction: float, n_templates: int = 1
+    seed: int,
+    page_id: int,
+    near_dup_fraction: float,
+    n_templates: int = 1,
+    size_scale: int = 1,
 ):
     rng = np.random.RandomState((seed * 1_000_003 + page_id) % (2**31 - 1))
     is_dup = rng.rand() < near_dup_fraction
@@ -97,7 +101,7 @@ def _make_page(
         # stress knob); larger values give web-realistic cluster sizes
         tmpl = rng.randint(0, n_templates)
         template_rng = np.random.RandomState((seed + 7919 * tmpl) % (2**31 - 1))
-        words = _page_words(template_rng, 120)
+        words = _page_words(template_rng, 120 * size_scale)
         n_sub = rng.randint(0, 6)
         for _ in range(n_sub):
             pos = rng.randint(0, len(words))
@@ -105,7 +109,7 @@ def _make_page(
         title = f"shared template page {tmpl}"
         host = "dup-farm.example.org"
     else:
-        words = _page_words(rng, int(rng.randint(60, 200)))
+        words = _page_words(rng, int(rng.randint(60, 200)) * size_scale)
         title = " ".join(_page_words(rng, 4))
         host = f"host{rng.randint(0, 50)}.example.org"
     k = max(1, len(words) // 3)
@@ -125,12 +129,15 @@ def generate_pages(
     include_reference_eml: bool = True,
     num_partitions: int | None = None,
     n_templates: int | None = None,
+    size_scale: int = 1,
+    with_text: bool = True,
 ) -> DataFrame:
     """Distributed deterministic pages table.
 
     ``n_templates`` controls near-dup cluster size: defaults to
     ~40 clones per cluster (web-realistic); pass 1 to plant a single
-    mega-cluster for skew stress tests.
+    mega-cluster for skew stress tests. ``size_scale`` multiplies page
+    content length (1 ≈ 1.5 KB html; 8 ≈ 10-15 KB, Common-Crawl-ish).
     """
     if n_templates is None:
         n_templates = max(1, int(n_pages * near_dup_fraction) // 40)
@@ -138,12 +145,17 @@ def generate_pages(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                _make_page(seed, int(i), near_dup_fraction, n_templates)
+                _make_page(
+                    seed, int(i), near_dup_fraction, n_templates, size_scale
+                )
                 for i in pdf["id"]
             ]
             out = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
+            if not with_text:
+                # raw-crawl shape: extraction left to the pipeline
+                out["text"] = ""
             out.insert(0, "page_id", pdf["id"].values)
             yield out
 

@@ -28,11 +28,16 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _RUN_TEMPLATE = r"""
-import json, os, sys, tempfile, time
+import json, os, sys, tempfile, time, shutil
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+# RAM-backed I/O: a single shared disk saturates at ~8 local cores and
+# caps measured scaling at a wall real clusters don't have (per-node
+# disks scale with N). tmpfs emulates per-node storage bandwidth.
+os.environ["TMPDIR"] = "/dev/shm"
+tempfile.tempdir = None
 from spinneret_spark.session import get_spark
 from spinneret_spark import pipeline
 
@@ -59,6 +64,8 @@ print("RESULT " + json.dumps({{"cores": {cores}, "seconds": dt,
                                "canonicalize_seconds": canon_s,
                                "pages": n, "pages_per_sec": n / dt}}))
 spark.stop()
+shutil.rmtree(root, ignore_errors=True)
+shutil.rmtree(warm_root, ignore_errors=True)
 """
 
 
@@ -95,16 +102,27 @@ from spinneret_spark.session import get_spark
 from spinneret_spark.sources.corpusgen import generate_pages, write_pages
 spark = get_spark(app_name="gen", master="local[32]")
 spark.sparkContext.setLogLevel("ERROR")
-write_pages(generate_pages(spark, {n_pages}, near_dup_fraction=0.02), sys.argv[1])
+# raw-crawl realism: Common-Crawl-ish ~12 KB pages (size_scale=8),
+# extraction left to the pipeline (with_text=False) so the measured
+# job includes the real HTML->text work
+write_pages(generate_pages(spark, {n_pages}, near_dup_fraction=0.02,
+                           size_scale=8, with_text=False), sys.argv[1])
 spark.stop()
 """
+    os.environ["TMPDIR"] = "/dev/shm"
+    tempfile.tempdir = None
     corpus = os.path.join(tempfile.mkdtemp(prefix="scaling_corpus_"), "pages")
     subprocess.run(
         [sys.executable, "-c", gen_code, corpus], check=True, timeout=3600
     )
 
-    r8 = run_once(corpus, 8, full)
-    r32 = run_once(corpus, 32, full)
+    try:
+        r8 = run_once(corpus, 8, full)
+        r32 = run_once(corpus, 32, full)
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
     eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4
 
     result = {
