@@ -113,7 +113,7 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
     # html is the fat column; ship it through Arrow only if some row
     # actually needs extraction (same probe trick as fill_text) —
     # on a pre-extracted corpus this halves Python-bound bytes
-    need_html = (
+    need_html = "html" in pages.columns and (
         pages.where(F.col("text").isNull() | (F.col("text") == ""))
         .limit(1)
         .count()
@@ -190,12 +190,26 @@ def run_extract_phase(
     buckets: int = DEFAULT_BUCKETS,
     terms: list[str] | None = None,
 ) -> dict:
-    """Resumable per-partition phase: pages → triples table."""
+    """Resumable per-partition phase: pages → pages_text + triples.
+
+    Extraction is materialized ONCE as the ``pages_text`` table
+    (part_id, url, lang, text): HTML parsing is the expensive Python
+    pass, and every downstream consumer (mention scan here,
+    canonicalization's shingling, any future stage) reads the text
+    table instead of re-extracting — at 10^12 documents re-running
+    extraction per consumer would dwarf everything else in the job.
+    """
     t0 = time.time()
     pages = with_part_id(pages, buckets)
     done = sinks.committed_parts(spark, out_root, "triples")
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
-    triples = pages_to_triples(todo, terms)  # fused kernel fills text
+
+    filled = fill_text(todo).select("part_id", "url", "lang", "text")
+    sinks.write_partitioned(filled, out_root, "pages_text", shuffle=False)
+    text_tbl = sinks.read_table(spark, out_root, "pages_text").join(
+        F.broadcast(done), "part_id", "left_anti"
+    )
+    triples = pages_to_triples(text_tbl, terms)
 
     # no repartition: the plan upstream is shuffle-free, and pages
     # corpora are bucketed by part_id on disk (corpusgen.write_pages),
@@ -232,16 +246,16 @@ def run_extract_phase(
 
 def run_canonicalize_phase(
     spark: SparkSession,
-    pages: DataFrame,
     out_root: str,
     run_id: str,
     jaccard_threshold: float = 0.8,
     buckets: int = DEFAULT_BUCKETS,
 ) -> dict:
     """Whole-corpus phase: near-dup edges → entities → canonical
-    triples. Runs over the committed triples table + pages text."""
+    triples. Reads the materialized ``pages_text`` table (written by
+    the extract phase) — never re-extracts HTML."""
     t0 = time.time()
-    docs = with_part_id(fill_text(pages), buckets).select(
+    docs = sinks.read_table(spark, out_root, "pages_text").select(
         F.col("url").alias("doc_id"), "text"
     )
     # edges and assignment feed multiple downstream actions (CC loop,
@@ -309,6 +323,6 @@ def run(
     stats = run_extract_phase(spark, pages, out_root, run_id, buckets, terms)
     if canonicalize:
         stats["canonicalize"] = run_canonicalize_phase(
-            spark, pages, out_root, run_id, buckets=buckets
+            spark, out_root, run_id, buckets=buckets
         )
     return stats

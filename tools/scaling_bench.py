@@ -42,9 +42,12 @@ from spinneret_spark.session import get_spark
 from spinneret_spark import pipeline
 
 # identical confs at both parallelism levels (BASELINE.md protocol);
-# only the master differs
+# only the master differs. 16m splits target ~3-4 tasks/core/stage in
+# local mode (straggler-tail control); a real cluster keeps the 128m
+# default — it has thousands of executor slots to fill, not 32.
 spark = get_spark(app_name="scaling-{cores}", master="local[{cores}]",
-                  shuffle_partitions=64)
+                  shuffle_partitions=64,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({corpus!r})
 n = pages.count()
