@@ -26,13 +26,17 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, space-joined (Spark).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-ARRAY column.
 
-    transform over a 0-based index sequence; emits len-n+1 shingles
-    (empty array when the doc has fewer than n tokens).
+    ``toks`` MUST be a materialized column reference (not an inline
+    ``tokens(text)`` expression): Catalyst inlines lambda-captured
+    expressions into every element access, so an inline token split
+    re-splits the full text once per shingle position — O(tokens²)
+    per document, a multi-hour straggler on 10 KB pages. Callers
+    project the token array in a prior select (see
+    operators/dedup._doc_shingles).
     """
-    toks = tokens(col)
     # guard: Spark sequence(0, -1) counts DOWN ([0, -1]); short docs
     # must yield an empty shingle set instead.
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
@@ -43,6 +47,17 @@ def shingles(col: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, space-joined, from a TEXT column.
+
+    Convenience for fixture-scale docs and oracle-checked queries.
+    WARNING: quadratic in token count (see shingles_from_tokens) —
+    for corpus-scale documents project ``tokens(col)`` first and use
+    :func:`shingles_from_tokens`.
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

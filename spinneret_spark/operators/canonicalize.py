@@ -50,7 +50,6 @@ def near_dup_edges(
     operators.dedup.ngram_jaccard_pairs provides for exhaustive-exact
     use cases).
     """
-    from spinneret_spark.functions.text import shingles
 
     sigs = minhash_signatures(
         docs, n=shingle_n, id_col=id_col, text_col=text_col, fast_hash=True
@@ -71,8 +70,15 @@ def near_dup_edges(
     docs_small = docs.join(
         cand_ids, docs[id_col] == cand_ids["id"], "left_semi"
     )
-    sh_arrays = docs_small.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    # tokens materialized before the shingle window (O(tokens²) trap
+    # otherwise — functions/text.shingles_from_tokens)
+    from spinneret_spark.functions.text import shingles_from_tokens, tokens
+
+    toks_small = docs_small.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    sh_arrays = toks_small.select(
+        "id", shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
     )
     a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

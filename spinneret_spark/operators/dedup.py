@@ -44,9 +44,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    """Two-step projection: tokens materialized as a real column
+    BEFORE the shingle window — an inline tokens() expression would be
+    re-evaluated per shingle position (O(tokens²) per doc, see
+    functions/text.shingles_from_tokens)."""
+    from spinneret_spark.functions.text import shingles_from_tokens, tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toks.select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("shingle")
     )
 
 
