@@ -51,8 +51,10 @@ def near_dup_edges(
     use cases).
     """
 
-    sigs = minhash_signatures(
-        docs, n=shingle_n, id_col=id_col, text_col=text_col, fast_hash=True
+    from spinneret_spark.operators.dedup import minhash_signatures_pandas
+
+    sigs = minhash_signatures_pandas(
+        docs, n=shingle_n, id_col=id_col, text_col=text_col
     )
     # candidates feed three consumers (both join sides + id pruning);
     # materialize eagerly once or the minhash lineage recomputes three
@@ -70,15 +72,14 @@ def near_dup_edges(
     docs_small = docs.join(
         cand_ids, docs[id_col] == cand_ids["id"], "left_semi"
     )
-    # tokens materialized before the shingle window (O(tokens²) trap
-    # otherwise — functions/text.shingles_from_tokens)
-    from spinneret_spark.functions.text import shingles_from_tokens, tokens
+    # shingle-hash sets via the same vectorized kernel family as the
+    # signatures: long-array intersection is ~10x cheaper than string
+    # shingles, and Catalyst cannot re-inline a Python stage the way
+    # it re-inlines expression trees (the O(tokens²) HOF trap)
+    from spinneret_spark.operators.dedup import shingle_hash_arrays_pandas
 
-    toks_small = docs_small.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    sh_arrays = toks_small.select(
-        "id", shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
+    sh_arrays = shingle_hash_arrays_pandas(
+        docs_small, n=shingle_n, id_col=id_col, text_col=text_col
     )
     a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -21,6 +21,7 @@ lsh_candidate_pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,6 +171,114 @@ def minhash_signatures(
         F.min(minhash_value(F.col("h"), i)).alias(f"mh{i}") for i in range(k)
     ]
     return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_pandas(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures via a vectorized Arrow kernel — the
+    production path for corpus-scale documents.
+
+    The pure-expression variant (:func:`minhash_signatures`) evaluates
+    Catalyst higher-order functions per shingle — interpreted, outside
+    whole-stage codegen — costing ~1 µs/lambda × tokens × corpus. Here
+    each document is one numpy pass: crc32 per token, rolling
+    polynomial window mod p, np.unique, then all k permutations as
+    whole-array ops (~0.3 ms per 10 KB page). Tokenization matches
+    ``functions.text.tokens`` (split on single space, drop empties);
+    docs with fewer than n tokens emit no signature, like the
+    expression path.
+    """
+    import zlib
+
+    import numpy as np
+
+    from spinneret_spark.functions.hashing import MINHASH_PARAMS
+
+    params = MINHASH_PARAMS[:k]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    fields = ", ".join(f"mh{i} long" for i in range(k))
+    schema = f"id {id_type}, {fields}"
+
+    def kernel(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                toks = [t for t in text.split(" ") if t]
+                if len(toks) < n:
+                    continue
+                th = np.array(
+                    [zlib.crc32(t.encode("utf-8")) for t in toks],
+                    dtype=np.int64,
+                ) % MERSENNE_P
+                win = th[: len(th) - n + 1].copy()
+                for j in range(1, n):
+                    win = win * 31 + th[j : len(th) - n + 1 + j]
+                win = np.unique(win % MERSENNE_P)
+                out_ids.append(doc_id)
+                out_sigs.append(
+                    [int(((a * win + b) % MERSENNE_P).min()) for a, b in params]
+                )
+            sig_arr = (
+                np.array(out_sigs, dtype=np.int64)
+                if out_sigs
+                else np.empty((0, k), dtype=np.int64)
+            )
+            data = {"id": out_ids}
+            for i in range(k):
+                data[f"mh{i}"] = sig_arr[:, i]
+            yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def shingle_hash_arrays_pandas(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sh: array<long>) — each doc's distinct shingle-hash set,
+    same crc32 rolling-polynomial values as
+    :func:`minhash_signatures_pandas`. Jaccard over these equals
+    Jaccard over string shingles up to a ~2^-31 collision rate, and
+    long-array intersection is far cheaper than string-array
+    intersection (no per-element UTF8 hashing). Short docs emit an
+    empty array."""
+    import zlib
+
+    import numpy as np
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, sh array<long>"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in text.split(" ") if t] if text else []
+                if len(toks) < n:
+                    ids.append(doc_id)
+                    shs.append([])
+                    continue
+                th = np.array(
+                    [zlib.crc32(t.encode("utf-8")) for t in toks],
+                    dtype=np.int64,
+                ) % MERSENNE_P
+                win = th[: len(th) - n + 1].copy()
+                for j in range(1, n):
+                    win = win * 31 + th[j : len(th) - n + 1 + j]
+                ids.append(doc_id)
+                shs.append(np.unique(win % MERSENNE_P).tolist())
+            yield pd.DataFrame({"id": ids, "sh": shs})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
 def lsh_candidate_pairs(

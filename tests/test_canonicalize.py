@@ -21,11 +21,13 @@ from spinneret_spark.operators.dedup import (
 
 
 def _mk_docs(spark):
-    base = (
-        "spark query engine reads the parquet table and runs a hash join "
-        "over the sorted stream of row groups in the big data cluster"
+    # long enough that a 1-term substitution keeps shingle-Jaccard
+    # ≈0.97 — LSH banding then finds the pair for any reasonable hash
+    base = " ".join(
+        f"w{i} spark query engine reads the parquet table segment {i}"
+        for i in range(12)
     )
-    near = base.replace("hash join", "merge join")
+    near = base.replace("segment 7", "chunk 7")
     other = (
         "completely different words about forest ecology survey sites "
         "with annual species records observed near coastal stations today"
