@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spinneret_spark.functions.hashing import det_id as _det_id
 from spinneret_spark.operators.components import components_with_isolated
 from spinneret_spark.operators.dedup import (
     lsh_candidate_pairs,
@@ -142,9 +143,17 @@ def rewrite_triples(
             "canonical_subj"
         ),
     )
-    return (
+    out = (
         triples.join(canon, "subj", "left")
         .withColumn("subj", F.coalesce("canonical_subj", F.col("subj")))
         .drop("canonical_subj")
-        .dropDuplicates(["subj", "pred", "obj"])
     )
+    if {"det_id", "pred_id", "obj_id"} <= set(triples.columns):
+        # recompute the deterministic id from the CANONICAL subject
+        # BEFORE dedup: otherwise merged rows keep an arbitrary
+        # survivor's pre-rewrite det_id, breaking the P6 idempotency
+        # contract det_id == f(subj, pred_id, obj_id)
+        out = out.withColumn(
+            "det_id", _det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
+        )
+    return out.dropDuplicates(["subj", "pred", "obj"])

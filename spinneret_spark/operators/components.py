@@ -1,18 +1,35 @@
-"""Connected components via iterative min-label propagation
+"""Connected components via alternating large-star/small-star
 (SURVEY.md J4/A4; north rule "GraphFrames-style connected components"
-— GraphFrames itself is absent in-sandbox, and at 10^12 scale the
-plain-DataFrame large-star/small-star loop is the portable core of it
-anyway).
+— GraphFrames itself is absent in-sandbox, and this alternating
+algorithm is exactly what GraphFrames runs internally).
 
-Algorithm: labels start as node ids; each round every node takes the
-min label over itself and its neighbors (undirected: edges are
-symmetrized once up front). ``localCheckpoint()`` truncates lineage
-each round (mandatory — the iterative plan otherwise grows
-exponentially), and the loop stops at fixpoint (no label changed) or
-``max_iter``. Convergence on any graph is bounded by the graph
-diameter; alternating large-star/small-star would square that — kept
-simple here because fixture diameters are small, flagged for the
-cluster path.
+Why not plain min-label propagation: min-label needs O(diameter)
+rounds, each a shuffle join plus a driver action — a 10^12-page
+corpus with long near-dup chains serializes the whole canonicalize
+phase behind it (measured: the round-1 bench missed the >=0.8 scaling
+target exactly here). The alternating algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", 2014) converges in
+O(log d) rounds by rewiring every node toward its neighborhood
+minimum from both directions:
+
+* large-star: for each node u, let m = min(N(u) ∪ {u}); connect every
+  STRICTLY LARGER neighbor v > u directly to m.
+* small-star: on edges oriented large→small, for each node u connect
+  all of its (smaller) neighbors and u itself to m = min(N(u) ∪ {u}).
+
+Both steps preserve connectivity and the invariant that every edge
+(a, b) satisfies a > b; the fixpoint is a forest of stars whose roots
+are the component minima. Each round is two shuffles + one
+``localCheckpoint`` (lineage truncation, mandatory for iterative
+plans) + one checksum aggregate for fixpoint detection.
+
+Skew: a giant component's minimum accumulates the whole component as
+direct neighbors, so the join of per-node minima back onto the edge
+list has one mega-hot key per giant component. ``hot_threshold``
+routes edge rows whose group key exceeds it through a broadcast join
+of the (tiny) hot-key minima — functions.skew's split-hot-keys
+pattern fused into the same aggregation — while AQE skew splitting
+handles the residual moderate skew.
 """
 
 from __future__ import annotations
@@ -21,60 +38,126 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _orient(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical directed edge set: (a, b) with a > b, no self-loops."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _join_mins(side: DataFrame, mins: DataFrame, hot_threshold: int) -> DataFrame:
+    """side(a, b) ⋈ mins(a, m, deg) — with the hot group keys (deg >
+    hot_threshold: giant-component minima) joined via broadcast so no
+    single reducer receives a whole component's edges."""
+    hot_mins = mins.where(F.col("deg") > hot_threshold).select("a", "m")
+    cold = side.join(
+        F.broadcast(hot_mins.select("a")), "a", "left_anti"
+    ).join(mins.select("a", "m"), "a")
+    hot = side.join(F.broadcast(hot_mins), "a")
+    return cold.unionByName(hot)
+
+
+def _large_star(edges: DataFrame, hot_threshold: int) -> DataFrame:
+    """edges (a, b) any orientation → (v, m) for v ∈ N(u), v > u."""
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(
+        F.min("b").alias("mn"), F.count(F.lit(1)).alias("deg")
+    ).select("a", F.least("a", "mn").alias("m"), "deg")
+    return (
+        _join_mins(sym, mins, hot_threshold)
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame, hot_threshold: int) -> DataFrame:
+    """edges oriented (a > b) → (v, m) for v ∈ N(u) ∪ {u}, v ≠ m."""
+    mins = edges.groupBy("a").agg(
+        F.min("b").alias("m"), F.count(F.lit(1)).alias("deg")
+    ).select("a", "m", "deg")
+    rewired = (
+        _join_mins(edges, mins, hot_threshold)
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_edges = mins.select("a", F.col("m").alias("b"))
+    return rewired.unionByName(self_edges).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, object]:
+    """(row count, exact hash-sum) — two equal consecutive checksums
+    mean the edge set reached fixpoint (decimal sum: exact, overflow-
+    free under ANSI mode, collision odds ~2^-64 per round)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    checkpoint_every: int = 1,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) with component = min node
     id in the component. Nodes appear iff they touch an edge; callers
     union isolated nodes afterwards (see :func:`components_with_isolated`).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching fixpoint — a silently-split giant component flowing into
+    canonical_entities would be a correctness bug, not a perf wart.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
-    sym = sym.localCheckpoint()
-    if sym.limit(1).count() == 0:
+    cur = _orient(edges, src, dst).localCheckpoint()
+    if cur.limit(1).count() == 0:
         # no edges → every node is its own component; skip the loop
-        # (saves several driver-serial jobs on sparse corpora)
-        return sym.select(
+        return cur.select(
             F.col("a").alias("node"), F.col("a").alias("component")
         )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    # node universe is fixed up front: the star rewiring drops
+    # interior nodes from later edge sets once they point at the root
+    nodes = (
+        cur.select(F.col("a").alias("node"))
+        .unionByName(cur.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
 
-    for i in range(max_iter):
-        # candidate labels: my own + min over neighbors' labels
-        neighbor = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_min", F.col("component")) < F.col("component"))
-                .alias("changed"),
-            )
-        )
-        if (i + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint()
-        n_changed = updated.filter("changed").limit(1).count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
+    prev_sig = _checksum(cur)
+    converged = False
+    for _ in range(max_iter):
+        cur = _small_star(
+            _large_star(cur, hot_threshold), hot_threshold
+        ).localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            converged = True
             break
-    return labels
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — graph is adversarial or "
+            "max_iter is too low (O(log diameter) rounds expected)"
+        )
+    # fixpoint edge set is a star forest: (member, root) one row each;
+    # roots (and only roots) never appear on the a-side
+    star = cur.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component")
+    )
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def components_with_isolated(
@@ -84,9 +167,10 @@ def components_with_isolated(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """CC over the full node set: isolated nodes get their own id."""
-    cc = connected_components(edges, src, dst, max_iter)
+    cc = connected_components(edges, src, dst, max_iter, hot_threshold)
     return (
         nodes.select(F.col(node_col).alias("node"))
         .join(cc, "node", "left")

@@ -45,47 +45,60 @@ from spinneret_spark.sources.vocab import DEFAULT_TERMS, VOCAB_URI_PREFIX
 DEFAULT_BUCKETS = 32
 
 
+def _partition_ids(out_root: str, table_name: str) -> list[int]:
+    """part_ids present on disk, from the ``part_id=`` directory names
+    alone — a filesystem listing, no Spark job, no data read (the
+    Iceberg path reads the same thing from table metadata)."""
+    import os
+
+    path = os.path.join(out_root, table_name)
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return []
+    out = []
+    for name in names:
+        if name.startswith("part_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def with_part_id(pages: DataFrame, buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     return pages.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
     )
 
 
-def fill_text(pages: DataFrame, probe: bool = True) -> DataFrame:
+def fill_text(pages: DataFrame) -> DataFrame:
     """U1: deterministic HTML→text where the crawl didn't supply it.
 
-    One two-argument UDF (NOT ``F.when(cond, udf(...))`` — that shape
-    makes Catalyst plan the UDF twice) ⇒ exactly one ArrowEvalPython
-    node, asserted in tests/test_plans.py.
-
-    ``probe=True`` first checks (limit-1 scan, cheap) whether any row
-    is actually missing text; a fully-extracted corpus then skips the
-    Arrow round-trip entirely — shipping N already-present strings
-    through Python is pure tax.
+    Split plan instead of a probe scan: rows that already have text
+    pass through a filter branch that never reads ``html`` (column
+    pruning reaches the scan) and never crosses into Python; only the
+    missing-text rows ship their html through the Arrow UDF. On a
+    fully-extracted corpus the UDF branch is an empty filtered scan —
+    no data probe, no wasted Arrow bytes — and on a raw crawl the
+    pass-through branch is the empty one. Exactly one ArrowEvalPython
+    node either way (asserted in tests/test_plans.py).
     """
-    if probe:
-        missing = pages.where(
-            F.col("text").isNull() | (F.col("text") == "")
-        ).limit(1)
-        if missing.count() == 0:
-            return pages
+    is_missing = F.col("text").isNull() | (F.col("text") == "")
 
     @F.pandas_udf("string")
-    def fill(
-        batches: Iterator[tuple[pd.Series, pd.Series]]
-    ) -> Iterator[pd.Series]:
-        for htmls, texts in batches:
-            out = []
-            for h, t in zip(htmls, texts):
-                if t is not None and t != "":
-                    out.append(t)
-                elif h is not None:
-                    out.append(extract_text(bytes(h)))
-                else:
-                    out.append("")
-            yield pd.Series(out)
+    def fill(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for htmls in batches:
+            yield pd.Series(
+                [
+                    extract_text(bytes(h)) if h is not None else ""
+                    for h in htmls
+                ]
+            )
 
-    return pages.withColumn("text", fill(F.col("html"), F.col("text")))
+    present = pages.where(~is_missing)
+    missing = pages.where(is_missing).withColumn("text", fill(F.col("html")))
+    return present.unionByName(missing)
 
 
 _MENTION_ROWS_SCHEMA = (
@@ -93,7 +106,9 @@ _MENTION_ROWS_SCHEMA = (
 )
 
 
-def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
+def _fused_extract_detect(
+    pages: DataFrame, terms: list[str], assume_text: bool | None = None
+) -> DataFrame:
     """U1+U2 fused: HTML→text + dictionary mention scan in ONE
     mapInPandas (one Arrow crossing for the whole hot path —
     SURVEY.md §3.1). The flatMap (one page → N mentions) happens
@@ -110,15 +125,21 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
     """
     from spinneret_spark.operators.mentions import DictMatcher
 
-    # html is the fat column; ship it through Arrow only if some row
-    # actually needs extraction (same probe trick as fill_text) —
-    # on a pre-extracted corpus this halves Python-bound bytes
-    need_html = "html" in pages.columns and (
-        pages.where(F.col("text").isNull() | (F.col("text") == ""))
-        .limit(1)
-        .count()
-        > 0
-    )
+    # html is the fat column; ship it through Arrow only when some row
+    # may need extraction. ``assume_text=True`` is MANIFEST-LEVEL
+    # state, not a data probe: run_extract_phase reads the just-
+    # written pages_text table, whose rows are filled by construction
+    # — the caller asserts it instead of paying a corpus scan to
+    # discover it. ``assume_text=None`` (direct callers) falls back to
+    # a limit-1 probe.
+    if assume_text is None:
+        assume_text = "html" not in pages.columns or (
+            pages.where(F.col("text").isNull() | (F.col("text") == ""))
+            .limit(1)
+            .count()
+            == 0
+        )
+    need_html = "html" in pages.columns and not assume_text
     cols = ["part_id", "url", "lang", "text"] + (["html"] if need_html else [])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,7 +175,9 @@ def _fused_extract_detect(pages: DataFrame, terms: list[str]) -> DataFrame:
 
 
 def pages_to_triples(
-    pages: DataFrame, terms: list[str] | None = None
+    pages: DataFrame,
+    terms: list[str] | None = None,
+    assume_text: bool | None = None,
 ) -> DataFrame:
     """extract+detect (fused, one Python crossing) → link → emit.
 
@@ -165,7 +188,7 @@ def pages_to_triples(
     subj IS its page's url.
     """
     terms = terms or DEFAULT_TERMS
-    m = _fused_extract_detect(pages, terms)
+    m = _fused_extract_detect(pages, terms, assume_text)
     # dictionary ids resolve by construction (terms ⊂ vocab); a real
     # vocabulary joins here instead (linking.link_mentions)
     subj = F.col("url")
@@ -202,6 +225,18 @@ def run_extract_phase(
     t0 = time.time()
     pages = with_part_id(pages, buckets)
     done = sinks.committed_parts(spark, out_root, "triples")
+    done_ids = {r["part_id"] for r in done.collect()}
+    if len(done_ids) >= buckets:
+        # manifest-level short-circuit: part_id = pmod(hash, buckets)
+        # can only take `buckets` values, and every one is committed —
+        # a fully-extracted resume run touches NO data files and runs
+        # ZERO corpus jobs (asserted in tests/test_pipeline_resume.py)
+        return {
+            "run_id": run_id,
+            "parts_written": 0,
+            "rows_written": 0,
+            "seconds": time.time() - t0,
+        }
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
 
     filled = fill_text(todo).select("part_id", "url", "lang", "text")
@@ -209,7 +244,9 @@ def run_extract_phase(
     text_tbl = sinks.read_table(spark, out_root, "pages_text").join(
         F.broadcast(done), "part_id", "left_anti"
     )
-    triples = pages_to_triples(text_tbl, terms)
+    # pages_text rows are filled by construction — assert it instead
+    # of probing the data (manifest-level state, SURVEY.md §2.10)
+    triples = pages_to_triples(text_tbl, terms, assume_text=True)
 
     # no repartition: the plan upstream is shuffle-free, and pages
     # corpora are bucketed by part_id on disk (corpusgen.write_pages),
@@ -217,15 +254,28 @@ def run_extract_phase(
     sinks.write_partitioned(triples, out_root, "triples", shuffle=False)
 
     # commit accounting from the durable files (cheap: parquet scan of
-    # just-written partitions, pruned to part_id)
-    written = sinks.read_table(spark, out_root, "triples")
-    part_counts = (
-        written.join(F.broadcast(done), "part_id", "left_anti")
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    new_parts = [(r["part_id"], r["n"]) for r in part_counts]
+    # just-written partitions, pruned to part_id). A corpus where NO
+    # page yields a mention writes an empty table (no partition dirs,
+    # no readable schema) — the directory listing guards that case.
+    if _partition_ids(out_root, "triples"):
+        written = sinks.read_table(spark, out_root, "triples")
+        part_counts = (
+            written.join(F.broadcast(done), "part_id", "left_anti")
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_parts = [(r["part_id"], r["n"]) for r in part_counts]
+    else:
+        new_parts = []
+    # a part whose pages yield zero mentions writes no triples
+    # partition — commit it with n=0 anyway (from the pages_text
+    # partition dirs: a directory listing, the parquet-fallback twin
+    # of an Iceberg manifest read) or every later run re-extracts it
+    counted = {p for p, _ in new_parts}
+    for p in _partition_ids(out_root, "pages_text"):
+        if p not in counted and p not in done_ids:
+            new_parts.append((p, 0))
     if new_parts:
         sinks.append_manifest(spark, out_root, run_id, "triples", new_parts)
         metrics = spark.createDataFrame(
@@ -259,10 +309,16 @@ def run_canonicalize_phase(
         F.col("url").alias("doc_id"), "text"
     )
     # edges and assignment feed multiple downstream actions (CC loop,
-    # entity rollup, triple rewrite, writes) — cache both, or the
-    # whole LSH/verify lineage recomputes per action
-    edges = near_dup_edges(docs, jaccard_threshold, id_col="doc_id").cache()
-    assignment = canonical_entities(docs, edges, id_col="doc_id").cache()
+    # entity rollup, triple rewrite, writes) — localCheckpoint both:
+    # eager one-shot materialization (a lazy .cache() recomputes the
+    # whole LSH/verify lineage per consumer until its first fill, and
+    # can race its own fill across concurrent consumers)
+    edges = near_dup_edges(
+        docs, jaccard_threshold, id_col="doc_id"
+    ).localCheckpoint()
+    assignment = canonical_entities(
+        docs, edges, id_col="doc_id"
+    ).localCheckpoint()
 
     triples = sinks.read_committed(spark, out_root, "triples")
     canon = rewrite_triples(
@@ -272,36 +328,48 @@ def run_canonicalize_phase(
         id_col="doc_id",
     )
 
+    # whole-corpus tables: STATIC overwrite — recomputed per run, so
+    # earlier runs' partitions must be replaced wholesale
     edges_out = edges.withColumn(
         "part_id", F.pmod(F.xxhash64("id_a"), F.lit(buckets)).cast("int")
     )
-    sinks.write_partitioned(edges_out, out_root, "edges")
+    sinks.write_partitioned(edges_out, out_root, "edges", full_overwrite=True)
     ents = entity_table(assignment, id_col="doc_id").withColumn(
         "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
     )
-    sinks.write_partitioned(ents, out_root, "entities")
+    sinks.write_partitioned(ents, out_root, "entities", full_overwrite=True)
     canon_out = canon.withColumn(
         "part_id", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int")
     )
-    sinks.write_partitioned(canon_out, out_root, "triples_canonical")
+    sinks.write_partitioned(
+        canon_out, out_root, "triples_canonical", full_overwrite=True
+    )
 
-    counts = {}
+    # commit accounting: ONE job over the three just-written tables
+    # (tagged union) + ONE manifest write — vs 3+3 serial driver
+    # round-trips, which at small per-table sizes are pure fixed cost
+    stats = None
     for tbl in ["edges", "entities", "triples_canonical"]:
-        parts = (
+        g = (
             sinks.read_table(spark, out_root, tbl)
             .groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .select(F.lit(tbl).alias("tbl"), "part_id", "n")
         )
-        counts[tbl] = sum(r["n"] for r in parts)
-        sinks.append_manifest(
-            spark, out_root, run_id, tbl, [(r["part_id"], r["n"]) for r in parts]
-        )
+        stats = g if stats is None else stats.unionByName(g)
+    rows = stats.collect()
+    sinks.append_manifest_multi(
+        spark,
+        out_root,
+        run_id,
+        [(r["tbl"], r["part_id"], r["n"]) for r in rows],
+    )
+    counts = {t: 0 for t in ["edges", "entities", "triples_canonical"]}
+    for r in rows:
+        counts[r["tbl"]] += r["n"]
     n_edges = counts["edges"]
     n_entities = counts["entities"]
     n_triples = counts["triples_canonical"]
-    edges.unpersist()
-    assignment.unpersist()
     return {
         "run_id": run_id,
         "n_entities": n_entities,

@@ -50,43 +50,68 @@ def lineage_path(root: str) -> str:
 
 
 def write_partitioned(
-    df: DataFrame, root: str, table_name: str, shuffle: bool = True
+    df: DataFrame,
+    root: str,
+    table_name: str,
+    shuffle: bool = True,
+    full_overwrite: bool = False,
 ) -> None:
-    """Dynamic-partition-overwrite write of ``part_id=`` dirs.
+    """Partition-overwrite write of ``part_id=`` dirs.
 
     ``shuffle=False`` skips the pre-write repartition: correct either
     way (the dynamic-partition writer sorts rows by partition column
     within each task), and when the input is already laid out by
     part_id — a corpus written by ``corpusgen.write_pages``, or any
     resume re-run — the repartition would be a full-table shuffle
-    bought for nothing but file-count hygiene."""
+    bought for nothing but file-count hygiene.
+
+    ``full_overwrite=True`` uses STATIC overwrite (the whole table
+    path is replaced) — the right mode for whole-corpus tables that
+    are recomputed per run (edges/entities/triples_canonical): a
+    re-run that produces fewer partitions must not leave earlier
+    runs' untouched ``part_id=`` dirs on disk to be mixed into reads.
+    Incremental per-partition tables keep the dynamic default."""
     out = df.repartition("part_id") if shuffle else df
-    (
-        out.write.partitionBy("part_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(os.path.join(root, table_name))
-    )
+    writer = out.write.partitionBy("part_id")
+    if not full_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.mode("overwrite").parquet(os.path.join(root, table_name))
 
 
 def read_table(spark: SparkSession, root: str, table_name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, table_name))
 
 
-def committed_parts(spark: SparkSession, root: str, table_name: str) -> DataFrame:
-    """part_ids whose manifest row exists (= durable commits)."""
+def committed_parts(
+    spark: SparkSession,
+    root: str,
+    table_name: str,
+    latest_run_only: bool = False,
+) -> DataFrame:
+    """part_ids whose manifest row exists (= durable commits).
+
+    ``latest_run_only`` scopes to the most recent run's commits — the
+    right semantics for WHOLE-CORPUS tables (edges/entities/
+    triples_canonical) that are recomputed per run: a re-run that
+    produces fewer partitions must not leave earlier runs' untouched
+    ``part_id=`` dirs visible (they'd silently mix stale and fresh
+    data). Per-partition incremental tables (triples, pages_text)
+    keep the default: every run's commits accumulate.
+    """
     path = manifest_path(root)
     try:
         m = spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], "part_id int")
-    return (
-        m.filter(
-            (F.col("table_name") == table_name) & (F.col("status") == "committed")
-        )
-        .select("part_id")
-        .distinct()
+    m = m.filter(
+        (F.col("table_name") == table_name) & (F.col("status") == "committed")
     )
+    if latest_run_only:
+        latest = m.orderBy(F.desc("committed_at")).select("run_id").first()
+        if latest is None:
+            return spark.createDataFrame([], "part_id int")
+        m = m.filter(F.col("run_id") == latest["run_id"])
+    return m.select("part_id").distinct()
 
 
 def append_manifest(
@@ -101,12 +126,27 @@ def append_manifest(
     between data write and manifest append leaves an uncommitted
     partition that the next run simply rewrites (idempotent because
     ids are deterministic and the write mode is dynamic overwrite)."""
+    append_manifest_multi(
+        spark, root, run_id, [(table_name, p, n) for p, n in part_rows]
+    )
+
+
+def append_manifest_multi(
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    rows: list[tuple[str, int, int]],
+) -> None:
+    """Commit (table_name, part_id, rows_out) rows for SEVERAL tables
+    in one manifest write — one job instead of one per table (the
+    canonicalize phase commits three tables back-to-back, and at
+    two-digit-second phase budgets three serial driver round-trips
+    are measurable)."""
     now = datetime.datetime.now()
-    rows = [
-        (run_id, table_name, int(p), "committed", int(n), now)
-        for p, n in part_rows
+    data = [
+        (run_id, t, int(p), "committed", int(n), now) for t, p, n in rows
     ]
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
+    spark.createDataFrame(data, MANIFEST_SCHEMA).write.mode("append").parquet(
         manifest_path(root)
     )
 
@@ -135,9 +175,16 @@ def append_lineage(
     )
 
 
-def read_committed(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession,
+    root: str,
+    table_name: str,
+    latest_run_only: bool = False,
+) -> DataFrame:
     """The consistent view: data ∩ manifest (uncommitted partition
-    directories are invisible, exactly like an Iceberg snapshot)."""
+    directories are invisible, exactly like an Iceberg snapshot).
+    Pass ``latest_run_only=True`` for whole-corpus tables — see
+    :func:`committed_parts`."""
     data = read_table(spark, root, table_name)
-    parts = committed_parts(spark, root, table_name)
+    parts = committed_parts(spark, root, table_name, latest_run_only)
     return data.join(F.broadcast(parts), "part_id", "inner")

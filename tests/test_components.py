@@ -56,3 +56,41 @@ def test_edge_only_nodes(spark):
     out = connected_components(edf)
     got = dict((r["node"], r["component"]) for r in out.collect())
     assert got == {7: 7, 8: 7, 9: 7}
+
+
+def test_mega_star_with_hot_split(spark):
+    """A giant star (one component-minimum with 2000 direct neighbors)
+    exercises the broadcast hot-key path (hot_threshold=100) and must
+    not change the answer."""
+    edf = spark.createDataFrame(
+        [(0, i) for i in range(1, 2000)], "src long, dst long"
+    )
+    ndf = spark.createDataFrame([(i,) for i in range(2000)], "node long")
+    out = components_with_isolated(ndf, edf, hot_threshold=100)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+
+
+def test_long_chain_log_rounds(spark):
+    """Large-star/small-star needs O(log d) rounds: a 64-node chain
+    (diameter 63) must converge well inside 12 rounds — min-label
+    would need 63."""
+    n = 64
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components(edf, max_iter=12)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_nonconvergence_raises(spark):
+    """max_iter too low must raise, never silently emit split
+    components (ADVICE round 1)."""
+    import pytest as _pytest
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edf, max_iter=1)

@@ -94,3 +94,23 @@ def test_lineage_rows_written(spark, pages, tmp_path_factory):
     assert lin.count() == BUCKETS
     assert lin.filter(F.col("metric") == "rows_out").count() == BUCKETS
     assert os.path.isdir(sinks.manifest_path(root))
+
+
+def test_fully_committed_resume_runs_zero_jobs(spark, pages, tmp_path_factory):
+    """Manifest-level short-circuit: a resume over a fully-committed
+    corpus must consult ONLY the manifest — zero jobs over page data
+    (VERDICT r1 item 7: no probe scans on resume)."""
+    root = str(tmp_path_factory.mktemp("kg_zero"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS, canonicalize=False)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    stats = pipeline.run(
+        spark, pages, root, "run2", buckets=BUCKETS, canonicalize=False
+    )
+    after = set(tracker.getJobIdsForGroup(None))
+    assert stats["parts_written"] == 0
+    # the only permitted jobs are the tiny manifest read (collect of
+    # committed part ids) — nothing may scan pages/pages_text/triples
+    new_jobs = after - before
+    assert len(new_jobs) <= 3, f"expected manifest-only jobs, got {new_jobs}"
