@@ -1,0 +1,116 @@
+"""Streaming-skin tests (SURVEY.md §2.10 optional skin): micro-batches
+must APPEND — two batches hitting the same part_id both survive (the
+round-1 data-loss bug) — and the drained stream must equal the batch
+path on the same corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark import pipeline
+from spinneret_spark.sinks import tables as sinks
+from spinneret_spark.sources.corpusgen import generate_pages
+from spinneret_spark.streaming.incremental import stream_pages_to_triples
+
+BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    """Pages corpus written as MULTIPLE parquet files so availableNow +
+    maxFilesPerTrigger=1 replays it as several micro-batches whose
+    part_id buckets overlap."""
+    path = str(tmp_path_factory.mktemp("stream_pages") / "pages")
+    pages = generate_pages(spark, 60, include_reference_eml=False)
+    pages.repartition(3).write.parquet(path)
+    return path
+
+
+def _run_stream(spark, corpus_path, out_root, ckpt):
+    q = stream_pages_to_triples(
+        spark,
+        corpus_path,
+        out_root,
+        ckpt,
+        run_id="s1",
+        buckets=BUCKETS,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_multi_batch_append_no_data_loss(spark, corpus_path, tmp_path_factory):
+    out_root = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    manifest = spark.read.parquet(sinks.manifest_path(out_root))
+    run_ids = {r["run_id"] for r in manifest.select("run_id").distinct().collect()}
+    assert len(run_ids) >= 2, f"expected several micro-batches, got {run_ids}"
+
+    # at least one part_id written by more than one batch — the
+    # overwrite bug would have kept only the LAST batch's rows there
+    per_part = (
+        manifest.groupBy("part_id")
+        .agg(
+            F.countDistinct("run_id").alias("n_batches"),
+            F.sum("rows_out").alias("rows_committed"),
+        )
+    )
+    shared = per_part.filter(F.col("n_batches") >= 2).collect()
+    assert shared, "corpus too small: no part_id shared across batches"
+
+    # rows on disk must equal the SUM of all batches' manifest counts
+    on_disk = (
+        spark.read.parquet(os.path.join(out_root, "triples"))
+        .groupBy("part_id")
+        .count()
+        .collect()
+    )
+    disk = {r["part_id"]: r["count"] for r in on_disk}
+    for r in per_part.collect():
+        assert disk.get(r["part_id"], 0) == r["rows_committed"], (
+            f"part {r['part_id']}: {disk.get(r['part_id'])} on disk vs "
+            f"{r['rows_committed']} committed across {r['n_batches']} batches"
+        )
+
+
+def test_streaming_equals_batch(spark, corpus_path, tmp_path_factory):
+    out_root = str(tmp_path_factory.mktemp("stream_parity"))
+    ckpt = str(tmp_path_factory.mktemp("stream_parity_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    batch_root = str(tmp_path_factory.mktemp("batch_parity"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, batch_root, "b1", buckets=BUCKETS,
+                 canonicalize=False)
+
+    got = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, out_root, "triples")
+        .select("det_id")
+        .collect()
+    )
+    want = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, batch_root, "triples")
+        .select("det_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_stream_restart_is_noop(spark, corpus_path, tmp_path_factory):
+    """The streaming checkpoint records consumed files: restarting the
+    drained query must process nothing new."""
+    out_root = str(tmp_path_factory.mktemp("stream_restart"))
+    ckpt = str(tmp_path_factory.mktemp("stream_restart_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+    before = spark.read.parquet(os.path.join(out_root, "triples")).count()
+    _run_stream(spark, corpus_path, out_root, ckpt)
+    after = spark.read.parquet(os.path.join(out_root, "triples")).count()
+    assert after == before
