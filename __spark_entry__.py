@@ -670,8 +670,10 @@ SELECT q_id, vec_id, rank, cos FROM (
 
 
 def q_dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs (brute-force baseline;
-    block-scoped variant in operators/dedup.embedding_near_dup_pairs)."""
+    """Embedding-cosine near-dup pairs — brute-force cross-join
+    BASELINE, fixture scales only; the scale path is
+    ``dedup_embedding_blocked`` below (equi-join inside k-means
+    cells, no cartesian anywhere)."""
     from spinneret_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
@@ -690,16 +692,57 @@ SELECT id_a, id_b, ROUND(c, 6) AS cos FROM s WHERE c >= 0.4
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """CTE chain c0..c{iters}: DuckDB twin of similarity.kmeans_fit —
+    same init (k lowest ids), same lower-cell tiebreak, same
+    left-to-right id-ordered float64 mean folds → bit-identical
+    centroids (asserted in tests/test_similarity.py)."""
+    ctes = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         list_transform(embedding, x -> x::DOUBLE) AS cell_vec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell_id, embedding FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql("e.embedding", "c.cell_vec")} DESC,
+                                       c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{i} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""x{i} AS (
+  SELECT cell_id, vec_id, unnest(list_transform(embedding, v -> v::DOUBLE)) AS val,
+         unnest(range(len(embedding))) AS pos FROM a{i})"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT cell_id, pos,
+         list_reduce(list_prepend(0.0::DOUBLE, list(val ORDER BY vec_id)),
+                     (acc, v) -> acc + v) / COUNT(*) AS mean
+  FROM x{i} GROUP BY cell_id, pos)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT cell_id, list(mean ORDER BY pos) AS cell_vec FROM s{i} GROUP BY cell_id)"""
+        )
+    return ",\n".join(ctes)
+
+
 def q_ann_ivf(spark, sf):
-    """IVF-style approximate top-k: label-seeded centroids, probe 2."""
-    from spinneret_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k over TRAINED centroids (deterministic
+    k-means, k=8, 2 Lloyd iterations), probe 2."""
+    from spinneret_spark.operators.similarity import ivf_topk, kmeans_fit
 
     emb = _t(spark, sf, "embeddings")
-    min_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
-    centroids = emb.join(min_ids, ["vec_id", "label"]).select(
-        F.col("label").cast("int").alias("cell_id"),
-        F.col("embedding").alias("cell_vec"),
-    )
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -707,11 +750,9 @@ def q_ann_ivf(spark, sf):
 
 
 Q_ANN_IVF_SQL = f"""
-WITH centroids AS (
-  SELECT e.label AS cell_id, e.embedding AS cell_vec
-  FROM embeddings e
-  JOIN (SELECT label, MIN(vec_id) AS vec_id FROM embeddings GROUP BY label) m
-    ON e.vec_id = m.vec_id AND e.label = m.label
+WITH {_kmeans_sql()},
+centroids AS (
+  SELECT cell_id, cell_vec FROM c{KMEANS_ITERS}
 ), assigned AS (
   SELECT vec_id, cell_id, embedding FROM (
     SELECT e.vec_id, c.cell_id, e.embedding,
@@ -744,6 +785,41 @@ SELECT q_id, vec_id, rank, cos FROM (
                             ORDER BY cos DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding_blocked(spark, sf):
+    """Embedding near-dup at scale: block by trained k-means cell,
+    equi-join inside blocks — zero cartesian products anywhere in the
+    plan (asserted in tests/test_plans.py). Recall < 1 by design
+    (cross-cell near-dups are missed; raise k-means k / add multi-
+    probe to trade cost for recall)."""
+    from spinneret_spark.operators.dedup import embedding_near_dup_pairs
+    from spinneret_spark.operators.similarity import assign_cells, kmeans_fit
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    blocked = assign_cells(emb, centroids).join(emb, "vec_id")
+    return embedding_near_dup_pairs(blocked, threshold=0.4, block_col="cell_id")
+
+
+Q_DEDUP_EMBEDDING_BLOCKED_SQL = f"""
+WITH {_kmeans_sql()},
+assigned AS (
+  SELECT vec_id, cell_id, embedding FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql("e.embedding", "c.cell_vec")} DESC,
+                                       c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql("a.embedding", "b.embedding")} AS c
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cos FROM pairs WHERE c >= 0.4
 """
 
 
@@ -860,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_est": q_dedup_minhash_est,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "ann_topk_cosine": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "cc_components": q_cc_components,
@@ -894,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_est": Q_DEDUP_MINHASH_EST_SQL,
         "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": Q_DEDUP_EMBEDDING_SQL,
+        "dedup_embedding_blocked": Q_DEDUP_EMBEDDING_BLOCKED_SQL,
         "ann_topk_cosine": Q_ANN_TOPK_SQL,
         "ann_ivf": Q_ANN_IVF_SQL,
         "cc_components": Q_CC_SQL,

@@ -70,6 +70,80 @@ def assign_cells(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means → (cell_id, cell_vec) centroids.
+
+    Determinism contract (what makes this oracle-exact vs DuckDB):
+    * init = the ``k`` lowest-id vectors, cell_id = rank by id;
+    * assignment ties break to the LOWER cell_id;
+    * per-dimension means are LEFT-TO-RIGHT float64 folds over members
+      sorted by id, then one double/int division — addition order is
+      pinned, so both engines produce bit-identical centroids.
+
+    The ordered fold costs a collect_list per (cell, dim) — an oracle-
+    determinism device, not an algorithmic need; the corpus-scale
+    variant is the same plan with plain ``avg(val)`` (commutative
+    partial aggregation, no list materialization). Iteration count is
+    fixed (no convergence probe → no extra driver actions). Cells that
+    lose all members drop out on both engines alike.
+    """
+    w_init = Window.orderBy(id_col)
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.row_number().over(w_init).alias("rn"), F.col(vec_col))
+        .select(
+            (F.col("rn") - 1).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cell_vec"
+            ),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(embeddings, cents, id_col, vec_col).join(
+            embeddings, id_col
+        )
+        ex = assigned.select(
+            "cell_id",
+            F.col(id_col).alias("i"),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "val"),
+        )
+        # materialize the sorted member list as a real column before
+        # folding (inline agg expressions re-inline per access)
+        vals = ex.groupBy("cell_id", "pos").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("i"), F.col("val")))
+            ).alias("vals")
+        )
+        sums = vals.select(
+            "cell_id",
+            "pos",
+            (
+                F.aggregate(
+                    "vals", F.lit(0.0), lambda acc, s: acc + s["val"]
+                )
+                / F.size("vals")
+            ).alias("mean"),
+        )
+        cents = (
+            sums.groupBy("cell_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "cell_id",
+                F.transform("pm", lambda s: s["mean"]).alias("cell_vec"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -7,6 +7,7 @@ from spinneret_spark.plans.audit import (
     count_python_crossings,
     formatted_plan,
     has_broadcast_join,
+    has_cartesian,
     pushed_filters,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "formatted_plan",
     "pushed_filters",
     "has_broadcast_join",
+    "has_cartesian",
     "count_exchanges",
     "count_python_crossings",
 ]

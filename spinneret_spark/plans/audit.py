@@ -47,6 +47,19 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", tree))
 
 
+def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains a cross (pair) join — either a
+    CartesianProduct or a BroadcastNestedLoopJoin planned for a Cross
+    join type. Callers asserting an operator's pair join is blocked
+    should cut upstream lineage first (localCheckpoint) so a
+    deliberate tiny-side cross (e.g. k-row centroid argmax) upstream
+    doesn't trip the check."""
+    plan = formatted_plan(df)
+    return "CartesianProduct" in plan or bool(
+        re.search(r"BroadcastNestedLoopJoin\s+Cross", plan)
+    )
+
+
 def count_python_crossings(df: DataFrame) -> int:
     tree = formatted_plan(df).split("\n\n")[0]
     return len(

@@ -1,0 +1,120 @@
+"""Similarity-search tests: deterministic k-means bit-exactness vs
+DuckDB, IVF recall against brute-force ground truth, and the
+no-cartesian plan contract for blocked embedding dedup (VERDICT r1
+items 2-3)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark.operators.dedup import embedding_near_dup_pairs
+from spinneret_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+    kmeans_fit,
+)
+from spinneret_spark.plans import has_cartesian
+
+SF = "/root/testdata/sf0.001"
+K, ITERS = 8, 2
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_kmeans_bit_exact_vs_duckdb(spark, emb):
+    """The trained centroids must be BIT-IDENTICAL to the DuckDB twin
+    (ordered float64 folds pin the addition order on both engines)."""
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r["cell_id"], list(r["cell_vec"]))
+        for r in kmeans_fit(emb, K, ITERS).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = con.sql(
+        f"WITH {entry._kmeans_sql(K, ITERS)} "
+        f"SELECT cell_id, cell_vec FROM c{ITERS} ORDER BY cell_id"
+    ).fetchall()
+    assert len(got) == len(want) == K
+    for (gc, gv), (wc, wv) in zip(got, want):
+        assert gc == wc
+        assert gv == list(wv)  # exact equality, not approx
+
+
+def test_kmeans_improves_inertia(spark, emb):
+    """Lloyd iterations must not worsen the clustering: mean best-
+    cosine after 2 iterations >= after 0 (init centroids)."""
+    from spinneret_spark.functions.vectors import cosine
+
+    def mean_best_cos(cents):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", cosine(F.col("embedding"), F.col("cell_vec")).alias("c")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("c").alias("b"))
+        return best.agg(F.avg("b")).first()[0]
+
+    init = kmeans_fit(emb, K, iters=0)
+    trained = kmeans_fit(emb, K, iters=ITERS)
+    assert mean_best_cos(trained) >= mean_best_cos(init) - 1e-12
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """recall@5 of trained-centroid IVF (nprobe=2) vs exact top-5."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = kmeans_fit(emb, K, ITERS)
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+
+def test_blocked_dedup_plan_has_no_cartesian(spark, emb):
+    """The blocked pair join must be an equi-join, never a cross join;
+    the brute-force baseline (contrast) is a cross join. The centroid
+    lineage is checkpointed away so the assertion targets the pair
+    join itself (the k-row centroid argmax upstream is a deliberate
+    broadcast cross, linear in the corpus)."""
+    cents = kmeans_fit(emb, K, ITERS)
+    assigned = assign_cells(emb, cents).join(emb, "vec_id").localCheckpoint()
+    blocked = embedding_near_dup_pairs(
+        assigned, threshold=0.4, block_col="cell_id"
+    )
+    assert not has_cartesian(blocked)
+    baseline = embedding_near_dup_pairs(emb, threshold=0.4)
+    assert has_cartesian(baseline)
+
+
+def test_blocked_pairs_subset_of_brute_force(spark, emb):
+    """Blocking loses cross-cell pairs but must never invent one."""
+    cents = kmeans_fit(emb, K, ITERS)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            assign_cells(emb, cents).join(emb, "vec_id"),
+            threshold=0.4,
+            block_col="cell_id",
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert blocked <= full
+    assert blocked, "blocking found nothing — fixture or k too degenerate"
