@@ -367,6 +367,73 @@ FROM (
 """
 
 
+#: Multi-word vocabulary for the trie-matcher checked query. Terms are
+#: TOKEN-DISJOINT by construction (no token appears in two terms, no
+#: term self-overlaps), so leftmost-longest greedy matching emits
+#: exactly the set of positional occurrences — which is what the plain
+#: token-window join in the DuckDB oracle computes. Width 2 and 3 both
+#: exercised.
+MULTIWORD_TERMS = ["table scan", "hash join", "window agg", "key order sort"]
+
+
+def q_kg_mentions_multiword(spark, sf):
+    """E7/U3 multi-word mention detection with character offsets:
+    detect_mentions_trie (iterator pandas UDF, DictMatcher built once
+    per worker) over the documents table."""
+    from spinneret_spark.operators.mentions import detect_mentions_trie
+
+    docs = _t(spark, sf, "documents")
+    m = detect_mentions_trie(docs, MULTIWORD_TERMS)
+    return m.select("doc_id", F.explode("mentions").alias("mn")).select(
+        "doc_id",
+        F.col("mn.norm").alias("norm"),
+        F.col("mn.start").alias("start_pos"),
+        F.col("mn.end").alias("end_pos"),
+    )
+
+
+_MW2 = ", ".join(
+    f"'{t}'" for t in MULTIWORD_TERMS if len(t.split()) == 2
+)
+_MW3 = ", ".join(
+    f"'{t}'" for t in MULTIWORD_TERMS if len(t.split()) == 3
+)
+
+# char offsets from token positions: documents.text is strictly
+# single-space-joined [a-z0-9]+ tokens (verified corpus-wide), so
+# token start = running_sum(len + 1) - len - 1
+Q_KG_MENTIONS_MULTIWORD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS idx
+  FROM t
+), pos AS (
+  SELECT doc_id, tok, idx,
+         CAST(SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+              ROWS UNBOUNDED PRECEDING) - length(tok) - 1 AS INTEGER) AS start
+  FROM p
+), m2 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS norm,
+         a.start AS start_pos,
+         b.start + CAST(length(b.tok) AS INTEGER) AS end_pos
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  WHERE a.tok || ' ' || b.tok IN ({_MW2})
+), m3 AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS norm,
+         a.start AS start_pos,
+         c.start + CAST(length(c.tok) AS INTEGER) AS end_pos
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+  WHERE a.tok || ' ' || b.tok || ' ' || c.tok IN ({_MW3})
+)
+SELECT doc_id, norm, start_pos, end_pos FROM m2
+UNION ALL
+SELECT doc_id, norm, start_pos, end_pos FROM m3
+"""
+
+
 def q_kg_entity_degree(spark, sf):
     """A-agg over mention occurrences: entity degrees."""
     docs = _t(spark, sf, "documents")
@@ -923,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_sessionize": q_sessionize,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_multiword": q_kg_mentions_multiword,
         "kg_triples": q_kg_triples,
         "kg_entity_degree": q_kg_entity_degree,
         "text_token_stats": q_token_stats,
@@ -958,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_json": Q_JSON_SQL,
         "q_sessionize": Q_SESSION_SQL,
         "kg_mentions": Q_KG_MENTIONS_SQL,
+        "kg_mentions_multiword": Q_KG_MENTIONS_MULTIWORD_SQL,
         "kg_triples": Q_KG_TRIPLES_SQL,
         "kg_entity_degree": Q_KG_DEGREE_SQL,
         "text_token_stats": Q_TOKEN_STATS_SQL,

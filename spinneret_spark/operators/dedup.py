@@ -361,23 +361,93 @@ def simhash_fingerprints(
     return sums.select("id", fp.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
+def simhash_fingerprints_pandas(
     docs: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    md5_compat: bool = False,
+) -> DataFrame:
+    """SimHash fingerprints via a vectorized Arrow kernel — the
+    production path (sibling of :func:`minhash_signatures_pandas`,
+    same rationale: the expression path explodes every token and
+    shuffles a ``bits``-column conditional aggregate, all outside
+    whole-stage codegen).
+
+    Per document: one token-hash gather (memoized across the batch —
+    web text repeats tokens heavily), then a single numpy
+    (tokens × bits) sign accumulation; no shuffle at all — the
+    fingerprint is computed where the document lives. Default token
+    hash is blake2b-64 (full 64-bit fingerprints); ``md5_compat=True``
+    switches to the 60-bit portable md5 hash so the kernel reproduces
+    :func:`simhash_fingerprints` bit-for-bit at ``bits<=16`` (the
+    agreement pytest). Tokenization matches ``functions.text.tokens``.
+    Docs with no tokens emit fingerprint 0, like the expression path
+    emits no row — callers treat absent/0 alike (empty docs dedup via
+    the exact tier anyway).
+    """
+    import hashlib
+
+    import numpy as np
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, simhash long"
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    if md5_compat:
+        def _hash(tok: str) -> int:
+            return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    else:
+        def _hash(tok: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in text.split(" ") if t] if text else []
+                if not toks:
+                    ids.append(doc_id)
+                    fps.append(0)
+                    continue
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for i, t in enumerate(toks):
+                    h = cache.get(t)
+                    if h is None:
+                        h = _hash(t)
+                        cache[t] = h
+                    hs[i] = h
+                # (tokens × bits) ±1 accumulation, fully vectorized
+                bitmat = (hs[:, None] >> shifts) & np.uint64(1)
+                sums = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                fp = int(((sums > 0).astype(np.uint64) << shifts).sum())
+                if fp >= 1 << 63:
+                    fp -= 1 << 64  # two's-complement into signed long
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"id": ids, "simhash": pd.array(fps, dtype="int64")}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
     max_hamming: int = 3,
     bits: int = 16,
     bands: int = 4,
-    id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> DataFrame:
-    """Hamming-close SimHash pairs via banded blocking.
-
-    By pigeonhole, two fingerprints within ``max_hamming < bands``
-    bit flips agree on at least one of ``bands`` bit-slices, so the
-    candidate join is an equi-join on (band, slice-value) — never a
-    cross join. Exact Hamming distance (bit_count of xor) filters the
-    candidates.
-    """
-    fp = simhash_fingerprints(docs, bits=bits, id_col=id_col, text_col=text_col)
+    """Hamming-close pairs from a (id, simhash) table via banded
+    blocking: by pigeonhole, two fingerprints within
+    ``max_hamming < bands`` bit flips agree on at least one of
+    ``bands`` bit-slices, so the candidate join is an equi-join on
+    (band, slice-value) — never a cross join. Exact Hamming distance
+    (bit_count of xor) filters the candidates."""
     width = bits // bands
     mask = (1 << width) - 1
     slices = F.array(
@@ -408,6 +478,35 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_kernel: bool = False,
+) -> DataFrame:
+    """Hamming-close SimHash pairs via banded blocking.
+
+    ``use_kernel=True`` computes fingerprints with the vectorized
+    Arrow kernel (production, 64-bit capable); the default expression
+    path keeps the exact DuckDB-oracle twin. Banding/verification is
+    shared either way (:func:`simhash_pairs_from_fingerprints`).
+    """
+    if use_kernel:
+        fp = simhash_fingerprints_pandas(
+            docs, bits=bits, id_col=id_col, text_col=text_col
+        )
+    else:
+        fp = simhash_fingerprints(
+            docs, bits=bits, id_col=id_col, text_col=text_col
+        )
+    return simhash_pairs_from_fingerprints(
+        fp, max_hamming=max_hamming, bits=bits, bands=bands
     )
 
 

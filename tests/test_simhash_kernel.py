@@ -1,0 +1,74 @@
+"""Vectorized SimHash kernel vs the oracle-portable expression path
+(VERDICT r1 item 4): bit-for-bit agreement at 16 bits, and the 64-bit
+production pairs pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark.operators.dedup import (
+    simhash_fingerprints,
+    simhash_fingerprints_pandas,
+    simhash_near_dup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_kernel_matches_expression_at_16_bits(spark, docs):
+    expr = {
+        r["id"]: r["simhash"]
+        for r in simhash_fingerprints(docs, bits=16).collect()
+    }
+    kern = {
+        r["id"]: r["simhash"]
+        for r in simhash_fingerprints_pandas(
+            docs, bits=16, md5_compat=True
+        ).collect()
+    }
+    assert expr, "expression path produced nothing"
+    for doc_id, fp in expr.items():
+        assert kern[doc_id] == fp, f"doc {doc_id}: {kern[doc_id]} != {fp}"
+    # kernel additionally emits fp=0 for token-less docs; every extra
+    # id must be one of those
+    for doc_id in set(kern) - set(expr):
+        assert kern[doc_id] == 0
+
+
+def test_kernel_pairs_match_expression_pairs(spark, docs):
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=3, use_kernel=True
+        ).collect()
+    }
+    # md5 vs blake2 token hashes differ, so 16-bit candidate sets may
+    # differ — run the kernel in md5-compat mode via fingerprints
+    from spinneret_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    fp = simhash_fingerprints_pandas(docs, bits=16, md5_compat=True).filter(
+        F.col("simhash") != 0
+    )
+    compat = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_fingerprints(fp, max_hamming=3).collect()
+    }
+    assert compat == want
+    assert got  # 64-bit-capable path runs and finds the planted dups
+
+
+def test_kernel_64_bit_full_width(spark, docs):
+    fps = simhash_fingerprints_pandas(docs, bits=64).collect()
+    assert any(r["simhash"] < 0 for r in fps) or any(
+        r["simhash"] > (1 << 62) for r in fps
+    ), "no fingerprint uses the top bits — 64-bit width not exercised"
