@@ -73,6 +73,34 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_secs, 3)
     pages_per_sec = round(n / kg_secs, 2)
 
+    # workbook.create at corpus scale: the reference flagship operator
+    # over a 100k-document templated EML corpus through the parquet
+    # pages path (corpus cached across rounds — generation excluded
+    # from the timed window)
+    from spinneret_spark.operators.workbook import create_workbook
+    from spinneret_spark.sources.corpusgen import (
+        _EML_BASE_URL,
+        generate_eml_pages,
+    )
+
+    n_eml = int(os.environ.get("SPARK_GRAFT_BENCH_EML_DOCS", "100000"))
+    eml_path = os.path.join(
+        tempfile.gettempdir(), f"spinneret_bench_eml_{n_eml}"
+    )
+    if not os.path.isdir(eml_path):
+        generate_eml_pages(spark, n_eml, num_partitions=64).write.parquet(
+            eml_path
+        )
+    eml_pages = spark.read.parquet(eml_path)
+    t0 = time.time()
+    wb_rows = create_workbook(
+        eml_pages,
+        ["dataset", "dataTable", "otherEntity", "attribute"],
+        _EML_BASE_URL,
+    ).count()
+    wb_secs = time.time() - t0
+    timings["workbook_100k"] = round(wb_secs, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline query suite + end-to-end KG pipeline "
@@ -83,6 +111,9 @@ def main() -> None:
         "sf": sf_dir,
         "pages": n,
         "pages_per_sec": pages_per_sec,
+        "workbook_docs": n_eml,
+        "workbook_rows": wb_rows,
+        "workbook_docs_per_sec": round(n_eml / wb_secs, 1),
     }
     spark.stop()
     print(json.dumps(result))

@@ -183,6 +183,59 @@ def generate_pages(
     return pages
 
 
+def generate_eml_pages(
+    spark: SparkSession,
+    n_docs: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic EML corpus at any scale: the 3 reference documents
+    templated with fresh packageId attributes (VERDICT r1 item 8 —
+    workbook.create at corpus scale through the pages-table path).
+
+    The 3 template blobs (~94 KB total) are read once driver-side and
+    shipped in the kernel closure (the broadcast-variable shape); each
+    page is template ``i % 3`` with its unique ``packageId="..."``
+    attribute rewritten to ``synth.<i>.1`` — the one byte span the
+    workbook extractor keys on (reference workbook.py:121). Everything
+    else (structure, attributes, entities) stays reference-real, so
+    per-document row counts match the golden corpus exactly.
+    """
+    templates = []
+    if not os.path.isdir(_EML_DIR):
+        raise FileNotFoundError(_EML_DIR)
+    for name in sorted(os.listdir(_EML_DIR)):
+        with open(os.path.join(_EML_DIR, name), "rb") as fh:
+            blob = fh.read()
+        pkg = name.rsplit(".xml", 1)[0]
+        templates.append((blob, f'packageId="{pkg}"'.encode()))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                blob, old_attr = templates[i % len(templates)]
+                pkg = f"synth.{i}.1"
+                html = blob.replace(old_attr, f'packageId="{pkg}"'.encode())
+                rows.append(
+                    (
+                        i,
+                        _EML_BASE_URL + pkg,
+                        _CRAWL_EPOCH,
+                        html,
+                        "",
+                        "en",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["page_id", "url", "warc_ts", "html", "text", "lang"],
+            )
+
+    base = spark.range(n_docs, numPartitions=num_partitions)
+    return base.mapInPandas(kernel, schema=PAGES_SCHEMA)
+
+
 def write_pages(pages: DataFrame, path: str, buckets: int = 32) -> None:
     """Materialize the corpus partitioned by url-hash bucket — the
     same part_id the pipeline checkpoints on (SURVEY.md §2.10)."""

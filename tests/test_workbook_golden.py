@@ -103,3 +103,24 @@ def test_write_once_tsv(pages, tmp_path):
     write_workbook_tsv(wb, str(tmp_path))
     with pytest.raises(Exception):
         write_workbook_tsv(wb, str(tmp_path))
+
+
+def test_templated_eml_corpus_parity(spark):
+    """generate_eml_pages templates the 3 reference docs: per-template
+    row counts must match the golden corpus (27+25+19 = 71 rows per
+    3 documents), with only package_id/url varying."""
+    from spinneret_spark.operators.workbook import create_workbook
+    from spinneret_spark.sources.corpusgen import (
+        _EML_BASE_URL,
+        generate_eml_pages,
+    )
+
+    pages = generate_eml_pages(spark, 30, num_partitions=4)
+    wb = create_workbook(
+        pages, ["dataset", "dataTable", "otherEntity", "attribute"],
+        _EML_BASE_URL,
+    )
+    assert wb.count() == 10 * 71
+    per_pkg = wb.groupBy("package_id").count().collect()
+    assert len(per_pkg) == 30
+    assert sorted({r["count"] for r in per_pkg}) == [19, 25, 27]
