@@ -79,9 +79,12 @@ def near_dup_edges(
     # it re-inlines expression trees (the O(tokens²) HOF trap)
     from spinneret_spark.operators.dedup import shingle_hash_arrays_pandas
 
+    # BOTH pair sides (a and b) read sh_arrays: checkpoint it or the
+    # semi-join + re-shingling kernel executes twice inside the one
+    # verify query (measured 2x the prep cost at 400k pages)
     sh_arrays = shingle_hash_arrays_pandas(
         docs_small, n=shingle_n, id_col=id_col, text_col=text_col
-    )
+    ).localCheckpoint()
     a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -156,8 +156,7 @@ def _fused_extract_detect(
                         if need_html and html is not None
                         else ""
                     )
-                seen = {norm for norm, _, _ in matcher.find(text)}
-                for norm in sorted(seen):
+                for norm in sorted(matcher.find_norms(text)):
                     parts.append(part)
                     urls.append(url)
                     langs.append(lang)
@@ -172,6 +171,79 @@ def _fused_extract_detect(
             )
 
     return pages.select(*cols).mapInPandas(kernel, schema=_MENTION_ROWS_SCHEMA)
+
+
+_PAGES_TEXT_SCHEMA = (
+    "part_id int, url string, lang string, text string, norms array<string>"
+)
+
+
+def _fused_extract_detect_full(
+    pages: DataFrame, terms: list[str], assume_text: bool | None = None
+) -> DataFrame:
+    """The ONE-crossing phase kernel: html → (text, sorted distinct
+    norms) per page, one output row per page.
+
+    This is the shape that lets the extract phase materialize BOTH the
+    pages_text table and (after a JVM-side explode) the triples table
+    from a single Python pass — the round-1 layout shipped text
+    through Arrow twice (extract out, detect in), doubling the
+    Python-bound bytes of the dominant stage.
+    """
+    from spinneret_spark.operators.mentions import DictMatcher
+
+    if assume_text is None:
+        assume_text = "html" not in pages.columns or (
+            pages.where(F.col("text").isNull() | (F.col("text") == ""))
+            .limit(1)
+            .count()
+            == 0
+        )
+    need_html = "html" in pages.columns and not assume_text
+    cols = ["part_id", "url", "lang", "text"] + (["html"] if need_html else [])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = DictMatcher(terms)  # built once per worker
+        for pdf in batches:
+            htmls = pdf["html"] if need_html else pdf["url"]  # dummy align
+            texts, norms = [], []
+            for text, html in zip(pdf["text"], htmls):
+                if not text:
+                    text = (
+                        extract_text(bytes(html))
+                        if need_html and html is not None
+                        else ""
+                    )
+                texts.append(text)
+                norms.append(sorted(matcher.find_norms(text)))
+            yield pd.DataFrame(
+                {
+                    "part_id": pdf["part_id"],
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "text": texts,
+                    "norms": norms,
+                }
+            )
+
+    return pages.select(*cols).mapInPandas(kernel, schema=_PAGES_TEXT_SCHEMA)
+
+
+def _triples_projection(m: DataFrame) -> DataFrame:
+    """(part_id, url, lang, norm) mention rows → triple rows with
+    deterministic ids. Pure built-ins — never crosses into Python."""
+    subj = F.col("url")
+    return m.select(
+        "part_id",
+        subj.alias("subj"),
+        F.lit(MENTIONS_PRED_LABEL).alias("pred"),
+        F.col("norm").alias("obj"),
+        F.lit(MENTIONS_PRED).alias("pred_id"),
+        F.concat(F.lit(VOCAB_URI_PREFIX), F.col("norm")).alias("obj_id"),
+        "lang",
+    ).withColumn(
+        "det_id", det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
+    )
 
 
 def pages_to_triples(
@@ -191,18 +263,7 @@ def pages_to_triples(
     m = _fused_extract_detect(pages, terms, assume_text)
     # dictionary ids resolve by construction (terms ⊂ vocab); a real
     # vocabulary joins here instead (linking.link_mentions)
-    subj = F.col("url")
-    return m.select(
-        "part_id",
-        subj.alias("subj"),
-        F.lit(MENTIONS_PRED_LABEL).alias("pred"),
-        F.col("norm").alias("obj"),
-        F.lit(MENTIONS_PRED).alias("pred_id"),
-        F.concat(F.lit(VOCAB_URI_PREFIX), F.col("norm")).alias("obj_id"),
-        "lang",
-    ).withColumn(
-        "det_id", det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
-    )
+    return _triples_projection(m)
 
 
 def run_extract_phase(
@@ -239,14 +300,20 @@ def run_extract_phase(
         }
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
 
-    filled = fill_text(todo).select("part_id", "url", "lang", "text")
-    sinks.write_partitioned(filled, out_root, "pages_text", shuffle=False)
+    # ONE Python crossing for the whole phase: extract + detect fused,
+    # pages_text materialized WITH the per-page norms array, and the
+    # triples table derived from the durable pages_text by a pure-JVM
+    # explode — html and text each cross the Arrow boundary exactly
+    # once per page, ever
+    enriched = _fused_extract_detect_full(todo, terms or DEFAULT_TERMS)
+    sinks.write_partitioned(enriched, out_root, "pages_text", shuffle=False)
     text_tbl = sinks.read_table(spark, out_root, "pages_text").join(
         F.broadcast(done), "part_id", "left_anti"
     )
-    # pages_text rows are filled by construction — assert it instead
-    # of probing the data (manifest-level state, SURVEY.md §2.10)
-    triples = pages_to_triples(text_tbl, terms, assume_text=True)
+    mentions = text_tbl.select(
+        "part_id", "url", "lang", F.explode("norms").alias("norm")
+    )
+    triples = _triples_projection(mentions)
 
     # no repartition: the plan upstream is shuffle-free, and pages
     # corpora are bucketed by part_id on disk (corpusgen.write_pages),

@@ -91,9 +91,16 @@ def run_once(corpus: str, cores: int, full: bool) -> dict:
     )
 
 
+def median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_pages = int(args[0]) if args else 400_000
+    n_runs = int(args[1]) if len(args) > 1 else 1
     full = "--extract-only" not in sys.argv
 
     # materialize the corpus once, on disk, shared by both runs
@@ -120,23 +127,37 @@ spark.stop()
     )
 
     try:
-        r8 = run_once(corpus, 8, full)
-        r32 = run_once(corpus, 32, full)
+        # interleave parallelism levels so drift (thermal, page cache)
+        # hits both sides alike; every run is its own fresh JVM
+        runs8, runs32 = [], []
+        for i in range(n_runs):
+            runs8.append(run_once(corpus, 8, full))
+            runs32.append(run_once(corpus, 32, full))
+            print(
+                f"run {i + 1}/{n_runs}: t8={runs8[-1]['seconds']:.1f}s "
+                f"t32={runs32[-1]['seconds']:.1f}s",
+                file=sys.stderr,
+            )
     finally:
         import shutil
 
         shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
-    eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4
+    t8 = median([r["seconds"] for r in runs8])
+    t32 = median([r["seconds"] for r in runs32])
+    eff = (t8 / t32) / 4
 
     result = {
         "n_pages": n_pages,
+        "runs": n_runs,
         "phase": "extract+link+triples" + ("+canonicalize" if full else ""),
-        "t8_sec": round(r8["seconds"], 1),
-        "t32_sec": round(r32["seconds"], 1),
-        "t8_phases": [r8.get("extract_seconds"), r8.get("canonicalize_seconds")],
-        "t32_phases": [r32.get("extract_seconds"), r32.get("canonicalize_seconds")],
-        "pages_per_sec_8": round(r8["pages_per_sec"], 1),
-        "pages_per_sec_32": round(r32["pages_per_sec"], 1),
+        "t8_sec": round(t8, 1),
+        "t32_sec": round(t32, 1),
+        "t8_all": [round(r["seconds"], 1) for r in runs8],
+        "t32_all": [round(r["seconds"], 1) for r in runs32],
+        "t8_phases": [runs8[0].get("extract_seconds"), runs8[0].get("canonicalize_seconds")],
+        "t32_phases": [runs32[0].get("extract_seconds"), runs32[0].get("canonicalize_seconds")],
+        "pages_per_sec_8": round(n_pages / t8, 1),
+        "pages_per_sec_32": round(n_pages / t32, 1),
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
@@ -157,7 +178,9 @@ spark.stop()
         fh.write(
             f"| {result['n_pages']} | {result['phase']} | {result['t8_sec']}"
             f" | {result['t32_sec']} | {result['pages_per_sec_8']}"
-            f" | {result['pages_per_sec_32']} | {result['scaling_efficiency']} |\n"
+            f" | {result['pages_per_sec_32']} | {result['scaling_efficiency']}"
+            f" | median of {result['runs']}: t8={result['t8_all']}"
+            f" t32={result['t32_all']} |\n"
         )
 
 
