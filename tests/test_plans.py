@@ -70,3 +70,25 @@ def test_column_pruning_reaches_scan(spark):
         line for line in plan.splitlines() if "ReadSchema" in line
     ][0]
     assert "l_extendedprice" not in read_schema
+
+
+def test_extract_phase_triples_derivation_is_jvm_only(spark, tmp_path):
+    """After the fused kernel materializes pages_text (text + norms),
+    the triples table must derive by pure-JVM explode — zero extra
+    Python crossings on the second half of the phase."""
+    from spinneret_spark.sources.corpusgen import generate_pages
+    from spinneret_spark.sinks import tables as sinks
+
+    root = str(tmp_path / "kg")
+    pages = generate_pages(spark, 20, include_reference_eml=False)
+    enriched = pipeline._fused_extract_detect_full(
+        pipeline.with_part_id(pages, 4), ["spark", "table"]
+    )
+    sinks.write_partitioned(enriched, root, "pages_text", shuffle=False)
+    text_tbl = sinks.read_table(spark, root, "pages_text")
+    mentions = text_tbl.select(
+        "part_id", "url", "lang", F.explode("norms").alias("norm")
+    )
+    triples = pipeline._triples_projection(mentions)
+    assert count_python_crossings(triples) == 0
+    assert count_exchanges(triples) == 0
