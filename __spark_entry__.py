@@ -890,6 +890,46 @@ SELECT id_a, id_b, ROUND(c, 6) AS cos FROM pairs WHERE c >= 0.4
 """
 
 
+def q_dedup_embedding_multiprobe(spark, sf):
+    """Multi-probe blocked near-dup (nprobe=2): each vector is indexed
+    under its 2 nearest k-means cells, so pairs that straddle one cell
+    boundary are recovered while the join stays an equi-join. The
+    recall/cost dial between `dedup_embedding_blocked` (nprobe=1) and
+    the quadratic baseline."""
+    from spinneret_spark.operators.dedup import embedding_near_dup_pairs
+    from spinneret_spark.operators.similarity import (
+        assign_cells_multi,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = assign_cells_multi(emb, centroids, nprobe=2).join(emb, "vec_id")
+    return embedding_near_dup_pairs(
+        assigned, threshold=0.4, block_col="cell_id"
+    ).distinct()
+
+
+Q_DEDUP_EMBEDDING_MULTIPROBE_SQL = f"""
+WITH {_kmeans_sql()},
+assigned AS (
+  SELECT vec_id, cell_id, embedding FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cosine_sql("e.embedding", "c.cell_vec")} DESC,
+                                       c.cell_id ASC) AS nth
+    FROM embeddings e CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE nth <= 2
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql("a.embedding", "b.embedding")} AS c
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, ROUND(c, 6) AS cos FROM pairs WHERE c >= 0.4
+"""
+
+
 # ---------------------------------------------------- connected components
 
 
@@ -1005,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
         "dedup_embedding_blocked": q_dedup_embedding_blocked,
+        "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
         "ann_topk_cosine": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "cc_components": q_cc_components,
@@ -1041,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": Q_DEDUP_EMBEDDING_SQL,
         "dedup_embedding_blocked": Q_DEDUP_EMBEDDING_BLOCKED_SQL,
+        "dedup_embedding_multiprobe": Q_DEDUP_EMBEDDING_MULTIPROBE_SQL,
         "ann_topk_cosine": Q_ANN_TOPK_SQL,
         "ann_ivf": Q_ANN_IVF_SQL,
         "cc_components": Q_CC_SQL,

@@ -121,11 +121,39 @@ def canonical_entities(
     )
 
 
-def entity_table(assignment: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(canonical_id, n_members, members) rollup — FIXTURES.md §4."""
-    return assignment.groupBy("canonical_id").agg(
+def entity_table(
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    max_members: int | None = None,
+) -> DataFrame:
+    """(canonical_id, n_members, members) rollup — FIXTURES.md §4.
+
+    ``max_members`` bounds the materialized member list (the count
+    stays exact): a web-scale boilerplate cluster can hold millions of
+    pages, and an unbounded ``collect_list`` makes that one row larger
+    than an executor. The cap is applied BEFORE aggregation (rank ≤
+    max_members inside the component), so the collected list never
+    exists unbounded anywhere — window and groupBy share the
+    canonical_id hash partitioning, so it is still one shuffle. The
+    full membership stays recoverable from the assignment table — the
+    rollup is a browsing surface, not the source of truth.
+    """
+    if max_members is None:
+        return assignment.groupBy("canonical_id").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("canonical_id").orderBy(id_col)
+    )
+    ranked = assignment.withColumn("_rn", rn)
+    return ranked.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sort_array(F.collect_list(id_col)).alias("members"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_members, F.col(id_col)))
+        ).alias("members"),
     )
 
 

@@ -70,6 +70,31 @@ def assign_cells(
     )
 
 
+def assign_cells_multi(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cell_id",
+    cent_vec: str = "cell_vec",
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector lands in its ``nprobe``
+    nearest cells (one output row per (vector, cell)). Blocking near-
+    dup search on this assignment catches pairs that straddle a single
+    cell boundary — the standard recall/cost dial: candidate volume
+    grows ~nprobe², recall approaches the exhaustive join."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", cosine(F.col(vec_col), F.col(cent_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(cent_id))
+    return (
+        scored.withColumn("nth", F.row_number().over(w))
+        .filter(F.col("nth") <= nprobe)
+        .select(id_col, cent_id)
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,

@@ -401,7 +401,9 @@ def run_canonicalize_phase(
         "part_id", F.pmod(F.xxhash64("id_a"), F.lit(buckets)).cast("int")
     )
     sinks.write_partitioned(edges_out, out_root, "edges", full_overwrite=True)
-    ents = entity_table(assignment, id_col="doc_id").withColumn(
+    # member lists capped: a boilerplate mega-cluster must not produce
+    # a row bigger than an executor (count stays exact)
+    ents = entity_table(assignment, id_col="doc_id", max_members=1024).withColumn(
         "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
     )
     sinks.write_partitioned(ents, out_root, "entities", full_overwrite=True)

@@ -73,3 +73,29 @@ def test_trie_mentions_case_insensitive_offsets(spark):
     assert list(out["norm"]) == ["spark"] * 3
     assert list(out["start"]) == [0, 10, 20]
     assert list(out["end"]) == [5, 15, 25]
+
+
+def test_find_norms_matches_positional_find():
+    """Property: for any text, the fast set path must equal the norms
+    of the positional greedy scan (single-word dictionaries take the
+    vectorized branch; mixed dictionaries fall back)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spinneret_spark.operators.mentions import DictMatcher
+
+    single = DictMatcher(["spark", "table", "join", "a1"])
+    mixed = DictMatcher(["spark", "table scan", "hash join part"])
+
+    token = st.sampled_from(
+        ["spark", "table", "scan", "hash", "join", "part", "a1", "Zz", "x"]
+    )
+    texts = st.lists(token, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(text):
+        for m in (single, mixed):
+            assert m.find_norms(text) == {n for n, _, _ in m.find(text)}
+
+    check()

@@ -118,3 +118,33 @@ def test_blocked_pairs_subset_of_brute_force(spark, emb):
     }
     assert blocked <= full
     assert blocked, "blocking found nothing — fixture or k too degenerate"
+
+
+def test_multiprobe_recall_between_blocked_and_full(spark, emb):
+    """nprobe=2 blocking must dominate nprobe=1 and stay a subset of
+    the exhaustive pair set."""
+    from spinneret_spark.operators.similarity import assign_cells_multi
+
+    cents = kmeans_fit(emb, K, ITERS)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            assign_cells(emb, cents).join(emb, "vec_id"),
+            threshold=0.4,
+            block_col="cell_id",
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            assign_cells_multi(emb, cents, nprobe=2).join(emb, "vec_id"),
+            threshold=0.4,
+            block_col="cell_id",
+        ).distinct().collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert single <= multi <= full
+    assert len(multi) > len(single), "nprobe=2 found no extra pairs"
