@@ -433,6 +433,21 @@ def run_canonicalize_phase(
         run_id,
         [(r["tbl"], r["part_id"], r["n"]) for r in rows],
     )
+    # per-partition lineage for the canonicalize outputs (north rule:
+    # lineage + metrics on every materialized table, not just triples)
+    lineage = spark.createDataFrame(
+        [
+            (
+                int(r["part_id"]),
+                f"canonicalize:{r['tbl']}",
+                "rows_out",
+                float(r["n"]),
+            )
+            for r in rows
+        ],
+        "part_id int, stage string, metric string, value double",
+    )
+    sinks.append_lineage(spark, out_root, run_id, "canonicalize", lineage)
     counts = {t: 0 for t in ["edges", "entities", "triples_canonical"]}
     for r in rows:
         counts[r["tbl"]] += r["n"]

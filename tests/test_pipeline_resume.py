@@ -114,3 +114,15 @@ def test_fully_committed_resume_runs_zero_jobs(spark, pages, tmp_path_factory):
     # committed part ids) — nothing may scan pages/pages_text/triples
     new_jobs = after - before
     assert len(new_jobs) <= 3, f"expected manifest-only jobs, got {new_jobs}"
+
+
+def test_canonicalize_lineage_rows(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg_canon_lineage"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS)
+    lin = spark.read.parquet(sinks.lineage_path(root))
+    stages = {
+        r["stage"] for r in lin.select("stage").distinct().collect()
+    }
+    assert "extract_link" in stages
+    assert {"canonicalize:edges", "canonicalize:entities",
+            "canonicalize:triples_canonical"} <= stages
