@@ -45,6 +45,45 @@ def salted_agg(
     )
 
 
+def salted_topk_rollup(
+    df: DataFrame,
+    key: str,
+    val_col: str,
+    k: int,
+    n_salts: int = 16,
+    count_name: str = "n",
+    list_name: str = "topk",
+) -> DataFrame:
+    """(key, exact count, k smallest vals) — the salted form of the
+    capped-member rollup.
+
+    The naive shape (``row_number`` over ``Window.partitionBy(key)``,
+    or a plain ``collect_list``) funnels every row of a hot key through
+    ONE reducer task: a boilerplate mega-cluster with 10^7 members
+    becomes a straggler that serializes the whole stage. Salting shards
+    each key across ``n_salts`` partial groups first; top-k is
+    associative (k smallest of the union == k smallest of per-shard
+    k-smallest), so phase two merges ≤ ``n_salts`` partial lists of ≤ k
+    elements per key — bounded regardless of component size. Phase-one
+    partial lists hold ~group_size/n_salts elements; raise ``n_salts``
+    if the hottest expected key divided by ``n_salts`` is still too
+    large for one task.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.slice(F.sort_array(F.collect_list(val_col)), 1, k).alias("_part"),
+    )
+    return phase1.groupBy(key).agg(
+        F.sum("_n").alias(count_name),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_part"))), 1, k
+        ).alias(list_name),
+    )
+
+
 def split_hot_keys(
     df: DataFrame,
     key: str,

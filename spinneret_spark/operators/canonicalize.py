@@ -131,11 +131,14 @@ def entity_table(
     ``max_members`` bounds the materialized member list (the count
     stays exact): a web-scale boilerplate cluster can hold millions of
     pages, and an unbounded ``collect_list`` makes that one row larger
-    than an executor. The cap is applied BEFORE aggregation (rank ≤
-    max_members inside the component), so the collected list never
-    exists unbounded anywhere — window and groupBy share the
-    canonical_id hash partitioning, so it is still one shuffle. The
-    full membership stays recoverable from the assignment table — the
+    than an executor. The capped path is a SALTED two-phase rollup
+    (functions.skew.salted_topk_rollup): a mega-component's rows shard
+    across ``n_salts`` reducers in phase one instead of funneling
+    through a single Window/collect_list task — the hot-entity-degree
+    straggler AQE cannot fix, because it lives inside one group, not
+    one partition. Semantics are unchanged: members = the
+    ``max_members`` smallest ids (top-k is associative). The full
+    membership stays recoverable from the assignment table — the
     rollup is a browsing surface, not the source of truth.
     """
     if max_members is None:
@@ -143,17 +146,15 @@ def entity_table(
             F.count(F.lit(1)).alias("n_members"),
             F.sort_array(F.collect_list(id_col)).alias("members"),
         )
-    from pyspark.sql import Window
+    from spinneret_spark.functions.skew import salted_topk_rollup
 
-    rn = F.row_number().over(
-        Window.partitionBy("canonical_id").orderBy(id_col)
-    )
-    ranked = assignment.withColumn("_rn", rn)
-    return ranked.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("_rn") <= max_members, F.col(id_col)))
-        ).alias("members"),
+    return salted_topk_rollup(
+        assignment,
+        key="canonical_id",
+        val_col=id_col,
+        k=max_members,
+        count_name="n_members",
+        list_name="members",
     )
 
 
