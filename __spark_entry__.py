@@ -454,6 +454,46 @@ GROUP BY v.subject_id, t.tok
 """
 
 
+def q_kg_entity_rollup(spark, sf):
+    """Capped entity-member rollup via the SALTED two-phase top-k
+    (functions/skew.py salted_topk_rollup — the canonicalize
+    entity_table path). Assignment is synthesized skewed on purpose:
+    ~60% of docs land in canonical_id 0 (the boilerplate mega-cluster
+    shape); the salted plan must still produce the exact count and the
+    8 smallest member ids per cluster."""
+    from spinneret_spark.functions.skew import salted_topk_rollup
+
+    docs = _t(spark, sf, "documents")
+    assign = docs.select(
+        F.when(F.col("doc_id") % 5 < 3, F.lit(0))
+        .otherwise(F.col("doc_id") % 37)
+        .cast("long")
+        .alias("canonical_id"),
+        "doc_id",
+    )
+    return salted_topk_rollup(
+        assign,
+        key="canonical_id",
+        val_col="doc_id",
+        k=8,
+        count_name="n_members",
+        list_name="members",
+    )
+
+
+Q_KG_ENTITY_ROLLUP_SQL = """
+WITH assign AS (
+  SELECT CASE WHEN doc_id % 5 < 3 THEN 0 ELSE doc_id % 37 END AS canonical_id,
+         doc_id
+  FROM documents
+)
+SELECT canonical_id, COUNT(*) AS n_members,
+       (list_sort(list(doc_id)))[1:8] AS members
+FROM assign
+GROUP BY canonical_id
+"""
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -1033,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_multiword": q_kg_mentions_multiword,
         "kg_triples": q_kg_triples,
         "kg_entity_degree": q_kg_entity_degree,
+        "kg_entity_rollup": q_kg_entity_rollup,
         "text_token_stats": q_token_stats,
         "text_quality": q_quality,
         "text_langid": q_langid,
@@ -1070,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_multiword": Q_KG_MENTIONS_MULTIWORD_SQL,
         "kg_triples": Q_KG_TRIPLES_SQL,
         "kg_entity_degree": Q_KG_DEGREE_SQL,
+        "kg_entity_rollup": Q_KG_ENTITY_ROLLUP_SQL,
         "text_token_stats": Q_TOKEN_STATS_SQL,
         "text_quality": Q_QUALITY_SQL,
         "text_langid": Q_LANGID_SQL,
