@@ -2,8 +2,8 @@
 
 * :func:`brute_force_topk` — exact cosine top-k: the correctness
   baseline. Query side is broadcast (queries ≪ corpus); per-query
-  top-k via window row_number with id tiebreak. Cost O(|Q|·N·d) —
-  fine for reranking shortlists, not for N=10^12.
+  top-k via two-phase partition-local merge (no per-query sort task).
+  Cost O(|Q|·N·d) — fine for reranking shortlists, not for N=10^12.
 * :func:`ivf_topk` — the scale path: coarse quantization into cells
   (deterministic seed centroids = embeddings of the lexicographically
   first ids per label-stratum), probe the ``nprobe`` nearest cells,
@@ -21,6 +21,36 @@ from pyspark.sql import functions as F
 from spinneret_spark.functions.vectors import cosine
 
 
+def _topk_per_query(
+    scored: DataFrame, q_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(q_id, id, cos) → exact top-k per query as (q_id, id, rank, cos)
+    via two-phase partition-local merge. Phase one reduces each input
+    partition to ≤ k candidates per query map-side; phase two merges
+    ≤ partitions·k rows per query — no single task ever sorts a whole
+    query's score set. Ordering key (−cos, id) ascending ≡ (cos desc,
+    id asc); the id tiebreak keeps ranks deterministic."""
+    key = F.struct(
+        (-F.col("cos")).alias("nc"), F.col(id_col).alias("i"), F.col("cos")
+    )
+    local = scored.groupBy(q_id_col, F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("_top")
+    )
+    merged = local.groupBy(q_id_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias(
+            "_top"
+        )
+    )
+    return merged.select(
+        q_id_col, F.posexplode("_top").alias("_r", "_s")
+    ).select(
+        q_id_col,
+        F.col("_s.i").alias(id_col),
+        (F.col("_r") + 1).alias("rank"),
+        F.col("_s.cos").alias("cos"),
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -30,7 +60,14 @@ def brute_force_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Exact top-k by cosine: (q_id, vec_id, rank, cos)."""
+    """Exact top-k by cosine: (q_id, vec_id, rank, cos).
+
+    Two-phase top-k, not a Window: Window.partitionBy(q_id) funnels
+    all N scored rows of a query through ONE task's sort — a per-query
+    straggler at corpus N (scores are produced map-side by the
+    broadcast cross, so phase one never shuffles raw scores). Exact:
+    global top-k = top-k of per-shard top-k's.
+    """
     pairs = embeddings.crossJoin(F.broadcast(queries)).where(
         F.col(id_col) != F.col(q_id_col)
     )
@@ -39,14 +76,7 @@ def brute_force_topk(
         id_col,
         cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.desc("cos"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id_col, id_col, "rank", "cos")
-    )
+    return _topk_per_query(scored, q_id_col, id_col, k)
 
 
 def assign_cells(
@@ -83,16 +113,25 @@ def assign_cells_multi(
     nearest cells (one output row per (vector, cell)). Blocking near-
     dup search on this assignment catches pairs that straddle a single
     cell boundary — the standard recall/cost dial: candidate volume
-    grows ~nprobe², recall approaches the exhaustive join."""
+    grows ~nprobe², recall approaches the exhaustive join.
+
+    Grouped top-nprobe, not a Window: a Window.partitionBy(id) would
+    shuffle all corpus×k scored rows; the hash aggregation reduces each
+    vector's k rows to ONE partial map-side (the broadcast cross emits
+    a vector's k scores contiguously in the same partition), so only
+    corpus×1 partials cross the wire — k/1 shuffle-volume savings at
+    k=256 cells. Ties break to the lower cell_id, matching
+    :func:`assign_cells` and the DuckDB oracle."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", cosine(F.col(vec_col), F.col(cent_vec))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(cent_id))
-    return (
-        scored.withColumn("nth", F.row_number().over(w))
-        .filter(F.col("nth") <= nprobe)
-        .select(id_col, cent_id)
+    key = F.struct((-F.col("sim")).alias("ns"), F.col(cent_id).alias("c"))
+    top = scored.groupBy(id_col).agg(
+        F.slice(F.sort_array(F.collect_list(key)), 1, nprobe).alias("_top")
     )
+    return top.select(
+        id_col, F.explode("_top").alias("_s")
+    ).select(id_col, F.col("_s.c").alias(cent_id))
 
 
 def kmeans_fit(
@@ -101,6 +140,7 @@ def kmeans_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means → (cell_id, cell_vec) centroids.
 
@@ -111,12 +151,16 @@ def kmeans_fit(
       sorted by id, then one double/int division — addition order is
       pinned, so both engines produce bit-identical centroids.
 
-    The ordered fold costs a collect_list per (cell, dim) — an oracle-
-    determinism device, not an algorithmic need; the corpus-scale
-    variant is the same plan with plain ``avg(val)`` (commutative
-    partial aggregation, no list materialization). Iteration count is
-    fixed (no convergence probe → no extra driver actions). Cells that
-    lose all members drop out on both engines alike.
+    ``exact_fold=True`` is the oracle path: the ordered fold costs a
+    collect_list per (cell, dim) — a giant cell materializes its whole
+    membership in one row, the same hazard as an uncapped entity
+    rollup, so it is a FIXTURE device. ``exact_fold=False`` is the
+    corpus-scale path: plain ``avg(val)`` (commutative partial
+    aggregation map-side, no list ever exists) — same plan shape,
+    centroids equal up to float reassociation (assignments agree on
+    non-degenerate data; asserted in tests). Iteration count is fixed
+    (no convergence probe → no extra driver actions). Cells that lose
+    all members drop out on both engines alike.
     """
     w_init = Window.orderBy(id_col)
     cents = (
@@ -141,23 +185,28 @@ def kmeans_fit(
                 F.transform(F.col(vec_col), lambda x: x.cast("double"))
             ).alias("pos", "val"),
         )
-        # materialize the sorted member list as a real column before
-        # folding (inline agg expressions re-inline per access)
-        vals = ex.groupBy("cell_id", "pos").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("i"), F.col("val")))
-            ).alias("vals")
-        )
-        sums = vals.select(
-            "cell_id",
-            "pos",
-            (
-                F.aggregate(
-                    "vals", F.lit(0.0), lambda acc, s: acc + s["val"]
-                )
-                / F.size("vals")
-            ).alias("mean"),
-        )
+        if exact_fold:
+            # materialize the sorted member list as a real column before
+            # folding (inline agg expressions re-inline per access)
+            vals = ex.groupBy("cell_id", "pos").agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("i"), F.col("val")))
+                ).alias("vals")
+            )
+            sums = vals.select(
+                "cell_id",
+                "pos",
+                (
+                    F.aggregate(
+                        "vals", F.lit(0.0), lambda acc, s: acc + s["val"]
+                    )
+                    / F.size("vals")
+                ).alias("mean"),
+            )
+        else:
+            sums = ex.groupBy("cell_id", "pos").agg(
+                F.avg("val").alias("mean")
+            )
         cents = (
             sums.groupBy("cell_id")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
@@ -210,9 +259,6 @@ def ivf_topk(
     scored = cands.select(
         q_id_col, id_col, cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos")
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id_col, id_col, "rank", "cos")
-    )
+    # two-phase top-k: no per-query sort task even when a probed cell
+    # is hot
+    return _topk_per_query(scored, q_id_col, id_col, k)

@@ -92,3 +92,42 @@ def test_extract_phase_triples_derivation_is_jvm_only(spark, tmp_path):
     triples = pipeline._triples_projection(mentions)
     assert count_python_crossings(triples) == 0
     assert count_exchanges(triples) == 0
+
+
+def test_topk_plans_have_no_window(spark):
+    """brute_force_topk / ivf_topk rank via two-phase partition-local
+    merge: a Window.partitionBy(q_id) would sort a whole query's score
+    set in ONE task (per-query straggler at corpus N). Assert the
+    executed plans carry no Window node."""
+    from spinneret_spark.operators.similarity import (
+        assign_cells,
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    import re
+
+    def n_windows(df):
+        # count Window NODES ("Window [...]"), not the benign
+        # WindowGroupLimit pushdown nodes Catalyst adds around one
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bWindow \[", plan))
+
+    bf = brute_force_topk(emb, queries, k=5)
+    assert n_windows(bf) == 0
+
+    cents = kmeans_fit(emb, k=4, iters=1).localCheckpoint()
+    from spinneret_spark.operators.similarity import assign_cells_multi
+
+    am = assign_cells_multi(emb, cents, nprobe=2)
+    assert n_windows(am) == 0
+
+    # the only allowed Window is the tiny query→cell routing (|Q| rows);
+    # corpus-side ranking must be windowless
+    ivf = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    assert n_windows(ivf) <= 1

@@ -148,3 +148,30 @@ def test_multiprobe_recall_between_blocked_and_full(spark, emb):
     }
     assert single <= multi <= full
     assert len(multi) > len(single), "nprobe=2 found no extra pairs"
+
+
+def test_kmeans_scalable_fold_agrees_with_exact(spark, emb):
+    """exact_fold=False (corpus-scale: commutative avg, no member-list
+    row) must produce the same CLUSTERING as the oracle-exact ordered
+    fold — centroids differ only by float reassociation, so cell
+    assignments agree on non-degenerate data; and its plan must carry
+    no collect_list over members."""
+    fast_lazy = kmeans_fit(emb, K, ITERS, exact_fold=False)
+    # the k×dim-bounded vector-reassembly collect_list remains (one per
+    # iteration, list length = dim); the MEMBER-list collect per
+    # (cell, pos) must be gone — so the fast plan has strictly fewer
+    # collect_list aggregates than the exact plan
+    def n_collects(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "collect_list"
+        )
+
+    exact_lazy = kmeans_fit(emb, K, ITERS)
+    assert n_collects(fast_lazy) < n_collects(exact_lazy)
+
+    exact = exact_lazy.localCheckpoint()
+    fast = fast_lazy.localCheckpoint()
+    a = {r["vec_id"]: r["cell_id"] for r in assign_cells(emb, exact).collect()}
+    b = {r["vec_id"]: r["cell_id"] for r in assign_cells(emb, fast).collect()}
+    agree = sum(a[i] == b[i] for i in a) / len(a)
+    assert agree >= 0.95, f"assignment agreement {agree:.2f}"
