@@ -372,6 +372,18 @@ def run_canonicalize_phase(
     triples. Reads the materialized ``pages_text`` table (written by
     the extract phase) — never re-extracts HTML."""
     t0 = time.time()
+    empty_stats = {
+        "run_id": run_id,
+        "n_entities": 0,
+        "n_edges": 0,
+        "n_canonical_triples": 0,
+        "seconds": 0.0,
+    }
+    if not _partition_ids(out_root, "pages_text"):
+        # empty corpus: a zero-row partitioned parquet table has no
+        # data files and no readable schema — exit before touching it
+        empty_stats["seconds"] = time.time() - t0
+        return empty_stats
     docs = sinks.read_table(spark, out_root, "pages_text").select(
         F.col("url").alias("doc_id"), "text"
     )
@@ -387,13 +399,17 @@ def run_canonicalize_phase(
         docs, edges, id_col="doc_id"
     ).localCheckpoint()
 
-    triples = sinks.read_committed(spark, out_root, "triples")
-    canon = rewrite_triples(
-        triples,
-        assignment.select(F.col("doc_id"), F.col("canonical_id")),
-        subj_prefix="",
-        id_col="doc_id",
-    )
+    # a corpus where NO page yields a mention has no triples table on
+    # disk (same no-files-no-schema hazard); entities/edges still exist
+    canon = None
+    if _partition_ids(out_root, "triples"):
+        triples = sinks.read_committed(spark, out_root, "triples")
+        canon = rewrite_triples(
+            triples,
+            assignment.select(F.col("doc_id"), F.col("canonical_id")),
+            subj_prefix="",
+            id_col="doc_id",
+        )
 
     # whole-corpus tables: STATIC overwrite — recomputed per run, so
     # earlier runs' partitions must be replaced wholesale
@@ -407,18 +423,26 @@ def run_canonicalize_phase(
         "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
     )
     sinks.write_partitioned(ents, out_root, "entities", full_overwrite=True)
-    canon_out = canon.withColumn(
-        "part_id", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int")
-    )
-    sinks.write_partitioned(
-        canon_out, out_root, "triples_canonical", full_overwrite=True
-    )
+    if canon is not None:
+        canon_out = canon.withColumn(
+            "part_id", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int")
+        )
+        sinks.write_partitioned(
+            canon_out, out_root, "triples_canonical", full_overwrite=True
+        )
 
     # commit accounting: ONE job over the three just-written tables
     # (tagged union) + ONE manifest write — vs 3+3 serial driver
     # round-trips, which at small per-table sizes are pure fixed cost
     stats = None
     for tbl in ["edges", "entities", "triples_canonical"]:
+        if not _partition_ids(out_root, tbl):
+            # zero-row table (e.g. no near-dup edge cleared the
+            # threshold): the static overwrite wrote no data files, so
+            # there is neither a schema to read nor a partition to
+            # commit — the directory listing IS the emptiness check,
+            # same as the extract phase's guard
+            continue
         g = (
             sinks.read_table(spark, out_root, tbl)
             .groupBy("part_id")
@@ -426,28 +450,30 @@ def run_canonicalize_phase(
             .select(F.lit(tbl).alias("tbl"), "part_id", "n")
         )
         stats = g if stats is None else stats.unionByName(g)
-    rows = stats.collect()
-    sinks.append_manifest_multi(
-        spark,
-        out_root,
-        run_id,
-        [(r["tbl"], r["part_id"], r["n"]) for r in rows],
-    )
-    # per-partition lineage for the canonicalize outputs (north rule:
-    # lineage + metrics on every materialized table, not just triples)
-    lineage = spark.createDataFrame(
-        [
-            (
-                int(r["part_id"]),
-                f"canonicalize:{r['tbl']}",
-                "rows_out",
-                float(r["n"]),
-            )
-            for r in rows
-        ],
-        "part_id int, stage string, metric string, value double",
-    )
-    sinks.append_lineage(spark, out_root, run_id, "canonicalize", lineage)
+    rows = stats.collect() if stats is not None else []
+    if rows:
+        sinks.append_manifest_multi(
+            spark,
+            out_root,
+            run_id,
+            [(r["tbl"], r["part_id"], r["n"]) for r in rows],
+        )
+        # per-partition lineage for the canonicalize outputs (north
+        # rule: lineage + metrics on every materialized table, not
+        # just triples)
+        lineage = spark.createDataFrame(
+            [
+                (
+                    int(r["part_id"]),
+                    f"canonicalize:{r['tbl']}",
+                    "rows_out",
+                    float(r["n"]),
+                )
+                for r in rows
+            ],
+            "part_id int, stage string, metric string, value double",
+        )
+        sinks.append_lineage(spark, out_root, run_id, "canonicalize", lineage)
     counts = {t: 0 for t in ["edges", "entities", "triples_canonical"]}
     for r in rows:
         counts[r["tbl"]] += r["n"]

@@ -126,3 +126,43 @@ def test_canonicalize_lineage_rows(spark, pages, tmp_path_factory):
     assert "extract_link" in stages
     assert {"canonicalize:edges", "canonicalize:entities",
             "canonicalize:triples_canonical"} <= stages
+
+
+def test_run_with_zero_near_dup_edges(spark, tmp_path_factory):
+    """A corpus with no near-duplicates writes a ZERO-ROW edges table
+    — partitioned parquet with no data files and no readable schema.
+    The canonicalize commit accounting must skip it instead of
+    crashing on schema inference (this killed an 800k scaling run:
+    the warm-up's limit(2000) sample held no dup pair)."""
+    root = str(tmp_path_factory.mktemp("kg_noedges"))
+    pages = generate_pages(
+        spark, 60, include_reference_eml=False, near_dup_fraction=0.0
+    )
+    stats = pipeline.run(spark, pages, root, "run1", buckets=BUCKETS)
+    canon = stats["canonicalize"]
+    assert canon["n_edges"] == 0
+    # every page is its own entity, and canonical triples still land
+    assert canon["n_entities"] == pages.count()
+    assert canon["n_canonical_triples"] > 0
+    assert (
+        sinks.read_table(spark, root, "triples_canonical").count()
+        == canon["n_canonical_triples"]
+    )
+
+
+def test_run_with_zero_mentions(spark, tmp_path_factory):
+    """No page matches any vocabulary term → no triples table at all;
+    the full run (extract + canonicalize) must still complete, with
+    entities/edges derived from pages_text alone."""
+    root = str(tmp_path_factory.mktemp("kg_nomention"))
+    pages = generate_pages(
+        spark, 40, include_reference_eml=False, near_dup_fraction=0.2
+    )
+    stats = pipeline.run(
+        spark, pages, root, "run1", buckets=BUCKETS,
+        terms=["zzzz-not-in-any-page"],
+    )
+    assert stats["rows_written"] == 0
+    canon = stats["canonicalize"]
+    assert canon["n_canonical_triples"] == 0
+    assert canon["n_entities"] > 0
