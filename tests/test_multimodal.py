@@ -1,8 +1,14 @@
-"""Multimodal plumbing: real byte-level paths, stubbed decoders,
-deterministic fake features (task brief: stub the decode, make the
-Spark-side schema/partitioning/UDF-signature/batch-shape real)."""
+"""Multimodal plumbing: real byte- and header-level paths, seam-gated
+pixel decoders, deterministic fake features (task brief: stub the
+decode, make the Spark-side schema/partitioning/UDF-signature/
+batch-shape real — header parsing is pure stdlib, so it is real)."""
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
 
 import pytest
 
@@ -11,8 +17,94 @@ from spinneret_spark.operators.multimodal import (
     deterministic_fake_features,
     extract_media_meta,
     frame_sample_stub,
+    probe_media_header,
     FEATURE_DIM,
 )
+
+
+def make_png(w: int, h: int) -> bytes:
+    """Minimal valid grayscale PNG, stdlib-only."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    """JPEG marker stream up to a valid SOF0 frame header."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def make_wav(ms: int, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x00\x00" * (rate * ms // 1000))
+    return buf.getvalue()
+
+
+def test_probe_media_header_real_formats():
+    assert probe_media_header(make_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480, "duration_ms": None
+    }
+    assert probe_media_header(make_jpeg(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080,
+        "duration_ms": None
+    }
+    assert probe_media_header(make_gif(32, 16)) == {
+        "format": "gif", "width": 32, "height": 16, "duration_ms": None
+    }
+    wav = probe_media_header(make_wav(1500))
+    assert wav["format"] == "wav" and wav["duration_ms"] == 1500
+    assert probe_media_header(b"\x00" * 64) is None
+    assert probe_media_header(None) is None
+
+
+def test_media_meta_header_fields(spark):
+    rows = [
+        ("png1", "image", bytearray(make_png(640, 480))),
+        ("jpg1", "image", bytearray(make_jpeg(300, 200))),
+        ("wav1", "audio", bytearray(make_wav(2000))),
+        ("raw1", "video", bytearray(b"\x00" * 4096)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, blob binary"
+    )
+    out = extract_media_meta(media).toPandas().set_index("media_id")
+    assert out.loc["png1", "width"] == 640
+    assert out.loc["png1", "height"] == 480
+    assert out.loc["jpg1", "width"] == 300
+    assert out.loc["wav1", "duration_ms"] == 2000
+    # unrecognized container: header fields null, byte fields real
+    assert out.loc["raw1"][["width", "height", "duration_ms"]].isna().all()
+    assert out.loc["raw1", "n_bytes"] == 4096
 
 
 @pytest.fixture(scope="module")
@@ -28,9 +120,13 @@ def media(spark):
     )
 
 
-def test_decode_is_explicit_stub():
+def test_pixel_decode_is_gated_seam():
+    # header probe is real; the pixel/sample payload needs PIL/ffmpeg,
+    # absent here — the seam must raise, not silently fake pixels
     with pytest.raises(NotImplementedError):
-        decode_media(b"bytes", "image")
+        decode_media(make_png(8, 8), "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(make_wav(100), "audio")
 
 
 def test_media_meta_byte_level(spark, media):
