@@ -175,3 +175,37 @@ def test_kmeans_scalable_fold_agrees_with_exact(spark, emb):
     b = {r["vec_id"]: r["cell_id"] for r in assign_cells(emb, fast).collect()}
     agree = sum(a[i] == b[i] for i in a) / len(a)
     assert agree >= 0.95, f"assignment agreement {agree:.2f}"
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, emb):
+    """The recall/cost dial must actually be a dial: recall@5 is
+    non-decreasing in nprobe, and at nprobe=K (probe every cell) IVF
+    degenerates to the exact brute-force ranking — not just recall
+    1.0 but the identical (q_id, vec_id, rank) rows, since both paths
+    share the rerank and the (cos desc, id asc) tiebreak."""
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = kmeans_fit(emb, K, ITERS).localCheckpoint()
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_topk(emb, queries, cents, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+
+    exact_rows = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=K).collect()
+    }
+    assert full_probe == exact_rows
