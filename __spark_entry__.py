@@ -1051,6 +1051,83 @@ def q_workbook_eml(spark, sf):
     ).drop("element_id")  # uuid4 column: nondeterministic by contract
 
 
+# ----------------------------------------------------------------- curation
+
+
+def q_curate_sample(spark, sf):
+    """Deterministic stratified downsampling (operators/curation.py):
+    cap over-represented 'en' at 20%, everything else at 50% — every
+    keep/drop decision a pure function of doc_id via the portable md5
+    bridge, so Spark and DuckDB select the same rows."""
+    from spinneret_spark.operators.curation import deterministic_sample
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        key_col="doc_id",
+        fraction=0.5,
+        strata_col="lang",
+        strata_fractions={"en": 0.2},
+    )
+
+
+Q_CURATE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 1000000
+      < CASE WHEN lang = 'en' THEN 200000 ELSE 500000 END
+"""
+
+
+def q_curate_pack(spark, sf):
+    """Concat-and-chunk sequence packing at a 2048-char budget
+    (operators/curation.py): global start offset via the two-phase
+    distributed prefix sum; the oracle is the single-window SQL the
+    distributed plan must reproduce exactly."""
+    from spinneret_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, budget=2048, cost_col="n_chars")
+
+
+Q_CURATE_PACK_SQL = """
+WITH laid AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS cost,
+         CAST(COALESCE(SUM(n_chars) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM documents
+)
+SELECT doc_id, cost, start_off,
+       start_off // 2048 AS chunk_id,
+       (start_off + GREATEST(cost, 1) - 1) // 2048
+         - start_off // 2048 + 1 AS n_chunks
+FROM laid
+"""
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary: global top-50 token frequencies, ties to the
+    smaller token (operators/curation.py — TakeOrdered partial top-k,
+    never a global sort)."""
+    from spinneret_spark.operators.curation import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=50)
+
+
+Q_VOCAB_TOPK_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1092,6 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "q_rollup_event_stats": q_rollup_event_stats,
         "q_intersect_customers": q_intersect_customers,
+        "curate_sample_stratified": q_curate_sample,
+        "curate_pack_sequences": q_curate_pack,
+        "vocab_topk_tokens": q_vocab_topk,
         # rows-only (non-SQL-expressible: XML tree extraction)
         "workbook_eml": q_workbook_eml,
     }
@@ -1130,4 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": Q_CC_SQL,
         "q_rollup_event_stats": Q_ROLLUP_SQL,
         "q_intersect_customers": Q_INTERSECT_SQL,
+        "curate_sample_stratified": Q_CURATE_SAMPLE_SQL,
+        "curate_pack_sequences": Q_CURATE_PACK_SQL,
+        "vocab_topk_tokens": Q_VOCAB_TOPK_SQL,
     }
