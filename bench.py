@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "cc_components",
+    "curate_sample_stratified",
+    "curate_pack_sequences",
+    "vocab_topk_tokens",
 ]
 
 
