@@ -57,18 +57,16 @@ def deterministic_sample(
     and column pruning reach parquet; no shuffle, no Python."""
     if strata_col is None or not strata_fractions:
         return df.where(sample_gate(F.col(key_col), fraction))
-    gate = None
-    for value, frac in sorted(strata_fractions.items()):
-        cond = (F.col(strata_col) == value) & sample_gate(
-            F.col(key_col), frac
-        )
-        gate = cond if gate is None else gate | cond
-    listed = [v for v in sorted(strata_fractions)]
-    gate = gate | (
-        ~F.col(strata_col).isin(listed)
-        & sample_gate(F.col(key_col), fraction)
-    )
-    return df.where(gate)
+    # CASE-style integer threshold per stratum — null-safe (a NULL
+    # stratum falls through to the default rate, matching SQL CASE
+    # semantics in the oracle) and one comparison per row
+    threshold = F.lit(int(fraction * SAMPLE_DENOM))
+    for value, frac in sorted(strata_fractions.items(), reverse=True):
+        threshold = F.when(
+            F.col(strata_col) == value, int(frac * SAMPLE_DENOM)
+        ).otherwise(threshold)
+    u = F.pmod(md5_int(F.col(key_col).cast("string")), F.lit(SAMPLE_DENOM))
+    return df.where(u < threshold)
 
 
 def pack_sequences(

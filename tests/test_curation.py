@@ -134,3 +134,17 @@ def test_vocab_topk_uses_partial_topk_not_global_sort(spark, docs):
     assert len(rows) <= 10
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_sample_null_stratum_gets_default_rate(spark):
+    """A NULL stratum value must fall through to the default fraction
+    (SQL CASE semantics, matching the DuckDB oracle) — not be silently
+    dropped by three-valued logic."""
+    rows = [(i, None if i % 2 else "en") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = deterministic_sample(
+        df, "doc_id", 1.0, strata_col="lang", strata_fractions={"en": 0.0}
+    )
+    kept = out.collect()
+    assert all(r["lang"] is None for r in kept)
+    assert len(kept) == 200  # every null-stratum row kept at 1.0
