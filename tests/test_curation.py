@@ -22,7 +22,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist on teardown: a cached raw scan of this path would be
+    # substituted into OTHER test modules' plans by the cache manager,
+    # erasing their PushedFilters (bit test_plans once)
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_sample_is_deterministic_and_nested(spark, docs):

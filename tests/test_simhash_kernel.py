@@ -18,7 +18,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()  # keep the cached scan out of other modules' plans
 
 
 def test_kernel_matches_expression_at_16_bits(spark, docs):

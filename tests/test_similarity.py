@@ -24,7 +24,9 @@ K, ITERS = 8, 2
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()  # keep the cached scan out of other modules' plans
 
 
 def test_kmeans_bit_exact_vs_duckdb(spark, emb):
