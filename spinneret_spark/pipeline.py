@@ -497,10 +497,15 @@ def run(
     buckets: int = DEFAULT_BUCKETS,
     canonicalize: bool = True,
     terms: list[str] | None = None,
+    jaccard_threshold: float = 0.8,
 ) -> dict:
     stats = run_extract_phase(spark, pages, out_root, run_id, buckets, terms)
     if canonicalize:
         stats["canonicalize"] = run_canonicalize_phase(
-            spark, out_root, run_id, buckets=buckets
+            spark,
+            out_root,
+            run_id,
+            jaccard_threshold=jaccard_threshold,
+            buckets=buckets,
         )
     return stats

@@ -166,3 +166,38 @@ def test_run_with_zero_mentions(spark, tmp_path_factory):
     canon = stats["canonicalize"]
     assert canon["n_canonical_triples"] == 0
     assert canon["n_entities"] > 0
+
+
+def test_canonicalize_rerun_replaces_whole_corpus_tables(
+    spark, pages, tmp_path_factory
+):
+    """Re-running the canonicalize phase with a stricter threshold
+    produces fewer edges and possibly fewer partitions; earlier runs'
+    untouched part_id dirs must NOT linger on disk (static overwrite)
+    and the latest-run committed view must equal the disk contents
+    (ADVICE r1: no silent mixing of stale and fresh whole-corpus
+    data)."""
+    root = str(tmp_path_factory.mktemp("kg_rethresh"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS,
+                 jaccard_threshold=0.5)
+    n_edges_run1 = sinks.read_table(spark, root, "edges").count()
+    assert n_edges_run1 > 0
+
+    stats2 = pipeline.run_canonicalize_phase(
+        spark, root, "run2", jaccard_threshold=0.999, buckets=BUCKETS
+    )
+    on_disk = (
+        sinks.read_table(spark, root, "edges").count()
+        if pipeline._partition_ids(root, "edges")
+        else 0
+    )
+    # disk holds exactly the new run's rows — nothing stale mixed in
+    assert on_disk == stats2["n_edges"] < n_edges_run1
+    # committed view scoped to the latest run agrees with disk
+    if on_disk:
+        committed = sinks.read_committed(
+            spark, root, "edges", latest_run_only=True
+        ).count()
+        assert committed == on_disk
+    canon_disk = sinks.read_table(spark, root, "triples_canonical").count()
+    assert canon_disk == stats2["n_canonical_triples"]
