@@ -58,6 +58,7 @@ def main() -> None:
         args.run_id,
         buckets=args.buckets,
         canonicalize=not args.no_canonicalize,
+        jaccard_threshold=args.jaccard_threshold,
     )
     print(json.dumps(stats))
     spark.stop()
