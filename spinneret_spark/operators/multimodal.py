@@ -197,7 +197,11 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000,
                       ) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_idx,
     frame_checksum) rows — one-to-many via mapInPandas. The 'frames'
-    are byte-slices (STUB); a real decoder replaces the slicer only."""
+    are byte-slices at a stride derived from ``every_ms`` via a
+    nominal 4 bytes/ms stand-in bitrate (STUB); a real decoder
+    replaces the slicer only — the sampling-interval plumbing, batch
+    shape and one-to-many fan-out are the real parts under test."""
+    stride = max(1, every_ms * 4)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,9 +210,9 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000,
                 if b is None:
                     continue
                 raw = bytes(b)
-                n_frames = max(1, len(raw) // 4096)
+                n_frames = max(1, len(raw) // stride)
                 for i in range(min(n_frames, 16)):
-                    chunk = raw[i * 4096 : (i + 1) * 4096]
+                    chunk = raw[i * stride : (i + 1) * stride]
                     ids.append(str(mid))
                     idxs.append(i)
                     sums.append(hashlib.md5(chunk).hexdigest())

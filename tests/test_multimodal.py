@@ -152,6 +152,10 @@ def test_fake_features_deterministic_unit_norm(spark, media):
 def test_frame_sampling_one_to_many(spark, media):
     frames = frame_sample_stub(media).toPandas()
     vid = frames[frames["media_id"] == "vid1"]
-    assert len(vid) == 4  # 20000 bytes / 4096 -> 4 frames
-    assert sorted(vid["frame_idx"]) == [0, 1, 2, 3]
+    # stride = every_ms(1000) * 4 B/ms -> 20000 bytes / 4000 -> 5 frames
+    assert len(vid) == 5
+    assert sorted(vid["frame_idx"]) == [0, 1, 2, 3, 4]
     assert frames[frames["media_id"] == "bad1"].empty
+    # halving the interval doubles the sampled frames
+    dense = frame_sample_stub(media, every_ms=500).toPandas()
+    assert len(dense[dense["media_id"] == "vid1"]) == 10
