@@ -489,6 +489,138 @@ def run_canonicalize_phase(
     }
 
 
+def run_curation_phase(
+    spark: SparkSession,
+    out_root: str,
+    run_id: str,
+    buckets: int = DEFAULT_BUCKETS,
+    min_tokens: int = 5,
+    max_rep_ratio: float = 0.98,
+    sample_fraction: float = 1.0,
+    pack_budget: int = 4096,
+) -> dict:
+    """Whole-corpus training-data curation over ``pages_text``:
+    exact dedup (first-seen per content fingerprint) → quality gate
+    (token floor + repetition ceiling) → deterministic hash sample →
+    concat-and-chunk packing → the ``pages_curated`` table, committed
+    with the same manifest + per-stage lineage contract as every
+    other table.
+
+    Plan shape: ONE pass computes every gate (the dedup winner join
+    is the only shuffle before packing), one aggregate job reports
+    the funnel (rows surviving each stage — the numbers a curation
+    run is judged by), and the survivors flow into
+    :func:`curation.pack_sequences`'s two-phase prefix sum. All
+    built-ins — the phase never crosses into Python.
+    """
+    from spinneret_spark.operators.curation import (
+        pack_sequences,
+        sample_gate,
+    )
+    from spinneret_spark.operators.textstats import quality_score
+
+    t0 = time.time()
+    empty = {
+        "run_id": run_id,
+        "n_in": 0,
+        "n_after_dedup": 0,
+        "n_after_quality": 0,
+        "n_curated": 0,
+        "n_chunks": 0,
+        "seconds": 0.0,
+    }
+    if not _partition_ids(out_root, "pages_text"):
+        empty["seconds"] = time.time() - t0
+        return empty
+    docs = sinks.read_table(spark, out_root, "pages_text").select(
+        "part_id", "url", "lang", "text"
+    )
+    fp = docs.withColumn("fingerprint", F.md5("text"))
+    # first-seen winner per fingerprint: the smallest url survives
+    # (deterministic; matches streaming.stateful.first_seen's contract)
+    winners = fp.groupBy("fingerprint").agg(F.min("url").alias("url"))
+    deduped = fp.join(winners, ["fingerprint", "url"], "left_semi")
+    q = quality_score(deduped, id_col="url", text_col="text").select(
+        "url", "n_tokens", "rep_ratio"
+    )
+    flagged = deduped.join(q, "url").select(
+        "part_id",
+        "url",
+        "lang",
+        "text",
+        "fingerprint",
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("rep_ratio") <= max_rep_ratio)
+        ).alias("_quality_ok"),
+        sample_gate(F.col("url"), sample_fraction).alias("_sampled"),
+    ).localCheckpoint()  # consumed by the funnel agg AND the write
+
+    funnel = flagged.agg(
+        F.count(F.lit(1)).alias("after_dedup"),
+        F.sum(F.col("_quality_ok").cast("long")).alias("after_quality"),
+        F.sum(
+            (F.col("_quality_ok") & F.col("_sampled")).cast("long")
+        ).alias("curated"),
+    ).first()
+    n_in = docs.count()
+
+    kept = flagged.where(F.col("_quality_ok") & F.col("_sampled")).drop(
+        "_quality_ok", "_sampled"
+    )
+    packed = pack_sequences(
+        kept.withColumn("_cost", F.length("text")),
+        budget=pack_budget,
+        cost_col="_cost",
+        id_col="url",
+    )
+    curated = kept.join(packed.select("url", "chunk_id", "n_chunks"), "url")
+    sinks.write_partitioned(curated, out_root, "pages_curated",
+                            full_overwrite=True)
+
+    n_chunks = 0
+    if _partition_ids(out_root, "pages_curated"):
+        written = sinks.read_table(spark, out_root, "pages_curated")
+        parts = written.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max(F.col("chunk_id") + F.col("n_chunks"))).alias("mx"),
+        ).collect()
+        sinks.append_manifest(
+            spark, out_root, run_id, "pages_curated",
+            [(r["part_id"], r["n"]) for r in parts],
+        )
+        n_chunks = max((r["mx"] for r in parts), default=0)
+        funnel_rows = [
+            (-1, "curate:input", "rows", float(n_in)),
+            (-1, "curate:dedup", "rows", float(funnel["after_dedup"])),
+            (-1, "curate:quality", "rows", float(funnel["after_quality"])),
+            (-1, "curate:sample", "rows", float(funnel["curated"])),
+            (-1, "curate:pack", "chunks", float(n_chunks)),
+        ] + [
+            (int(r["part_id"]), "curate:write", "rows_out", float(r["n"]))
+            for r in parts
+        ]
+        sinks.append_lineage(
+            spark,
+            out_root,
+            run_id,
+            "pages_curated",
+            spark.createDataFrame(
+                funnel_rows,
+                "part_id int, stage string, metric string, value double",
+            ),
+        )
+    return {
+        "run_id": run_id,
+        "n_in": n_in,
+        "n_after_dedup": funnel["after_dedup"],
+        "n_after_quality": funnel["after_quality"],
+        "n_curated": funnel["curated"],
+        "n_chunks": int(n_chunks),
+        "seconds": time.time() - t0,
+    }
+
+
 def run(
     spark: SparkSession,
     pages: DataFrame,

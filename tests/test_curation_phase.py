@@ -1,0 +1,78 @@
+"""run_curation_phase: the training-data curation funnel as a durable
+pipeline phase (dedup → quality → sample → pack → manifested table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spinneret_spark import pipeline
+from spinneret_spark.sinks import tables as sinks
+from spinneret_spark.sources.corpusgen import generate_pages
+
+BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def kg_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg_curate"))
+    pages = generate_pages(
+        spark, 120, include_reference_eml=False, near_dup_fraction=0.3
+    )
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS,
+                 canonicalize=False)
+    return root
+
+
+def test_curation_funnel_and_table(spark, kg_root):
+    stats = pipeline.run_curation_phase(spark, kg_root, "run1",
+                                        buckets=BUCKETS)
+    # monotone funnel, nothing negative, stats equal disk
+    assert (
+        stats["n_in"]
+        >= stats["n_after_dedup"]
+        >= stats["n_after_quality"]
+        >= stats["n_curated"]
+        > 0
+    )
+    # the near-dup farm guarantees exact clones -> dedup really drops
+    assert stats["n_after_dedup"] < stats["n_in"]
+    curated = sinks.read_table(spark, kg_root, "pages_curated")
+    assert curated.count() == stats["n_curated"]
+    # content-unique by construction
+    assert (
+        curated.select("fingerprint").distinct().count() == curated.count()
+    )
+    # packing covers chunk ids [0, n_chunks) with no holes
+    spans = curated.select(
+        F.explode(
+            F.sequence("chunk_id", F.col("chunk_id") + F.col("n_chunks") - 1)
+        ).alias("c")
+    )
+    seen = {r["c"] for r in spans.distinct().collect()}
+    assert seen == set(range(stats["n_chunks"]))
+    # lineage carries the funnel
+    lin = spark.read.parquet(sinks.lineage_path(kg_root))
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert {"curate:input", "curate:dedup", "curate:quality",
+            "curate:sample", "curate:pack", "curate:write"} <= stages
+
+
+def test_curation_sample_fraction_reduces(spark, kg_root):
+    full = pipeline.run_curation_phase(spark, kg_root, "run2",
+                                       buckets=BUCKETS)
+    half = pipeline.run_curation_phase(
+        spark, kg_root, "run3", buckets=BUCKETS, sample_fraction=0.4
+    )
+    assert 0 < half["n_curated"] < full["n_curated"]
+    # static overwrite: disk reflects the LATEST run only
+    assert (
+        sinks.read_table(spark, kg_root, "pages_curated").count()
+        == half["n_curated"]
+    )
+
+
+def test_curation_on_empty_corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kg_curate_empty"))
+    stats = pipeline.run_curation_phase(spark, root, "run1")
+    assert stats["n_in"] == stats["n_curated"] == 0
