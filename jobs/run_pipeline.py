@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=1024)
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="also run the training-data curation phase "
+        "(dedup -> quality -> sample -> pack -> pages_curated)",
+    )
+    ap.add_argument("--sample-fraction", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=4096)
     args = ap.parse_args()
 
     from spinneret_spark import pipeline
@@ -60,6 +68,15 @@ def main() -> None:
         canonicalize=not args.no_canonicalize,
         jaccard_threshold=args.jaccard_threshold,
     )
+    if args.curate:
+        stats["curation"] = pipeline.run_curation_phase(
+            spark,
+            args.out,
+            args.run_id,
+            buckets=args.buckets,
+            sample_fraction=args.sample_fraction,
+            pack_budget=args.pack_budget,
+        )
     print(json.dumps(stats))
     spark.stop()
 
