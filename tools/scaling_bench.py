@@ -55,10 +55,14 @@ n = pages.count()
 # warm-up (JVM JIT, codegen caches, Python workers) — not timed
 warm_root = os.path.join(tempfile.mkdtemp(), "kg")
 pipeline.run(spark, pages.limit(2000), warm_root, "warm", canonicalize={full})
+if {curate}:
+    pipeline.run_curation_phase(spark, warm_root, "warm")
 
 root = os.path.join(tempfile.mkdtemp(), "kg")
 t0 = time.time()
 stats = pipeline.run(spark, pages, root, "scale", canonicalize={full})
+if {curate}:
+    stats["curation"] = pipeline.run_curation_phase(spark, root, "scale")
 dt = time.time() - t0
 extract_s = stats["seconds"]
 canon_s = stats.get("canonicalize", {{}}).get("seconds")
@@ -72,9 +76,9 @@ shutil.rmtree(warm_root, ignore_errors=True)
 """
 
 
-def run_once(corpus: str, cores: int, full: bool) -> dict:
+def run_once(corpus: str, cores: int, full: bool, curate: bool = False) -> dict:
     code = _RUN_TEMPLATE.format(
-        repo=REPO, cores=cores, corpus=corpus, full=full
+        repo=REPO, cores=cores, corpus=corpus, full=full, curate=curate
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -115,6 +119,7 @@ def main() -> None:
             lo, hi = a.split("=", 1)[1].split(",")
             levels = (int(lo), int(hi))
     full = "--extract-only" not in sys.argv
+    curate = "--curate" in sys.argv
 
     # materialize the corpus once, on disk, shared by both runs
     gen_code = f"""
@@ -145,8 +150,8 @@ spark.stop()
         # hits both sides alike; every run is its own fresh JVM
         runs_lo, runs_hi = [], []
         for i in range(n_runs):
-            runs_lo.append(run_once(corpus, lo, full))
-            runs_hi.append(run_once(corpus, hi, full))
+            runs_lo.append(run_once(corpus, lo, full, curate))
+            runs_hi.append(run_once(corpus, hi, full, curate))
             print(
                 f"run {i + 1}/{n_runs}: t{lo}={runs_lo[-1]['seconds']:.1f}s "
                 f"t{hi}={runs_hi[-1]['seconds']:.1f}s",
@@ -164,7 +169,9 @@ spark.stop()
         "n_pages": n_pages,
         "runs": n_runs,
         "levels": f"local[{lo}] -> local[{hi}]",
-        "phase": "extract+link+triples" + ("+canonicalize" if full else ""),
+        "phase": "extract+link+triples"
+        + ("+canonicalize" if full else "")
+        + ("+curate" if curate else ""),
         "t_n_sec": round(t_lo, 1),
         "t_4n_sec": round(t_hi, 1),
         "t_n_all": [round(r["seconds"], 1) for r in runs_lo],
