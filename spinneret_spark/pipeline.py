@@ -513,11 +513,11 @@ def run_curation_phase(
     :func:`curation.pack_sequences`'s two-phase prefix sum. All
     built-ins — the phase never crosses into Python.
     """
+    from spinneret_spark.functions.text import tokens
     from spinneret_spark.operators.curation import (
         pack_sequences,
         sample_gate,
     )
-    from spinneret_spark.operators.textstats import quality_score
 
     t0 = time.time()
     empty = {
@@ -540,19 +540,21 @@ def run_curation_phase(
     # (deterministic; matches streaming.stateful.first_seen's contract)
     winners = fp.groupBy("fingerprint").agg(F.min("url").alias("url"))
     deduped = fp.join(winners, ["fingerprint", "url"], "left_semi")
-    q = quality_score(deduped, id_col="url", text_col="text").select(
-        "url", "n_tokens", "rep_ratio"
-    )
-    flagged = deduped.join(q, "url").select(
+    # quality signals INLINE (textstats.quality_score's exact
+    # expressions) — a join back onto a quality projection would
+    # re-evaluate the dedup branch and shuffle the corpus twice more
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+    flagged = deduped.select(
         "part_id",
         "url",
         "lang",
         "text",
         "fingerprint",
-        (
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("rep_ratio") <= max_rep_ratio)
-        ).alias("_quality_ok"),
+        ((n_tok >= min_tokens) & (rep <= max_rep_ratio)).alias(
+            "_quality_ok"
+        ),
         sample_gate(F.col("url"), sample_fraction).alias("_sampled"),
     ).localCheckpoint()  # consumed by the funnel agg AND the write
 
