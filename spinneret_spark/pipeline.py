@@ -489,6 +489,43 @@ def run_canonicalize_phase(
     }
 
 
+def _curation_flags(
+    docs: DataFrame,
+    min_tokens: int,
+    max_rep_ratio: float,
+    sample_fraction: float,
+) -> DataFrame:
+    """docs(part_id, url, lang, text) → same rows deduped + flagged
+    (_quality_ok, _sampled). Pure built-ins — zero Python crossings
+    (asserted in tests/test_plans.py); the winner semi-join is the
+    only corpus shuffle."""
+    from spinneret_spark.functions.text import tokens
+    from spinneret_spark.operators.curation import sample_gate
+
+    fp = docs.withColumn("fingerprint", F.md5("text"))
+    # first-seen winner per fingerprint: the smallest url survives
+    # (deterministic; matches streaming.stateful.first_seen's contract)
+    winners = fp.groupBy("fingerprint").agg(F.min("url").alias("url"))
+    deduped = fp.join(winners, ["fingerprint", "url"], "left_semi")
+    # quality signals INLINE (textstats.quality_score's exact
+    # expressions) — a join back onto a quality projection would
+    # re-evaluate the dedup branch and shuffle the corpus twice more
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+    return deduped.select(
+        "part_id",
+        "url",
+        "lang",
+        "text",
+        "fingerprint",
+        ((n_tok >= min_tokens) & (rep <= max_rep_ratio)).alias(
+            "_quality_ok"
+        ),
+        sample_gate(F.col("url"), sample_fraction).alias("_sampled"),
+    )
+
+
 def run_curation_phase(
     spark: SparkSession,
     out_root: str,
@@ -513,11 +550,7 @@ def run_curation_phase(
     :func:`curation.pack_sequences`'s two-phase prefix sum. All
     built-ins — the phase never crosses into Python.
     """
-    from spinneret_spark.functions.text import tokens
-    from spinneret_spark.operators.curation import (
-        pack_sequences,
-        sample_gate,
-    )
+    from spinneret_spark.operators.curation import pack_sequences
 
     t0 = time.time()
     empty = {
@@ -535,27 +568,8 @@ def run_curation_phase(
     docs = sinks.read_table(spark, out_root, "pages_text").select(
         "part_id", "url", "lang", "text"
     )
-    fp = docs.withColumn("fingerprint", F.md5("text"))
-    # first-seen winner per fingerprint: the smallest url survives
-    # (deterministic; matches streaming.stateful.first_seen's contract)
-    winners = fp.groupBy("fingerprint").agg(F.min("url").alias("url"))
-    deduped = fp.join(winners, ["fingerprint", "url"], "left_semi")
-    # quality signals INLINE (textstats.quality_score's exact
-    # expressions) — a join back onto a quality projection would
-    # re-evaluate the dedup branch and shuffle the corpus twice more
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    rep = F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
-    flagged = deduped.select(
-        "part_id",
-        "url",
-        "lang",
-        "text",
-        "fingerprint",
-        ((n_tok >= min_tokens) & (rep <= max_rep_ratio)).alias(
-            "_quality_ok"
-        ),
-        sample_gate(F.col("url"), sample_fraction).alias("_sampled"),
+    flagged = _curation_flags(
+        docs, min_tokens, max_rep_ratio, sample_fraction
     ).localCheckpoint()  # consumed by the funnel agg AND the write
 
     funnel = flagged.agg(

@@ -131,3 +131,17 @@ def test_topk_plans_have_no_window(spark):
     # corpus-side ranking must be windowless
     ivf = ivf_topk(emb, queries, cents, k=5, nprobe=2)
     assert n_windows(ivf) <= 1
+
+
+def test_curation_flags_plan_is_jvm_only(spark, docs):
+    """The curation funnel (dedup winner join + quality + sample
+    gates) must never cross into Python — all gates are built-in
+    expressions."""
+    d = docs.select(
+        F.lit(0).alias("part_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        "text",
+    )
+    flagged = pipeline._curation_flags(d, 5, 0.98, 0.8)
+    assert count_python_crossings(flagged) == 0
