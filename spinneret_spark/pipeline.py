@@ -504,9 +504,21 @@ def _curation_flags(
 
     fp = docs.withColumn("fingerprint", F.md5("text"))
     # first-seen winner per fingerprint: the smallest url survives
-    # (deterministic; matches streaming.stateful.first_seen's contract)
-    winners = fp.groupBy("fingerprint").agg(F.min("url").alias("url"))
-    deduped = fp.join(winners, ["fingerprint", "url"], "left_semi")
+    # (deterministic; matches streaming.stateful.first_seen's
+    # contract). ONE min_by aggregation, not a winners semi-join —
+    # the join form scans the corpus twice (agg branch + probe side)
+    # and shuffles it twice; min_by reduces map-side to one candidate
+    # row per (partition, fingerprint), so the corpus is scanned once
+    # and only surviving candidates cross the wire.
+    deduped = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct("part_id", "url", "lang", "text"), F.col("url")
+            ).alias("_w")
+        )
+        .select("fingerprint", "_w.*")
+    )
     # quality signals INLINE (textstats.quality_score's exact
     # expressions) — a join back onto a quality projection would
     # re-evaluate the dedup branch and shuffle the corpus twice more
