@@ -75,9 +75,14 @@ def pack_sequences(
     cost_col: str = "n_chars",
     id_col: str = "doc_id",
     num_parts: int | None = None,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, cost) → (id, cost, start_off, chunk_id, n_chunks) for
     concat-and-chunk packing at ``budget`` cost units per chunk.
+    ``payload_cols`` ride along through the range exchange and come
+    back on the output — attaching chunk ids to wide rows WITHOUT a
+    second corpus shuffle (a join back on id would re-shuffle every
+    payload byte).
 
     start_off = exclusive prefix sum of cost in ``id_col`` order;
     chunk_id = start_off // budget; n_chunks spans through the last
@@ -89,7 +94,8 @@ def pack_sequences(
     partition-local (parallel), and only #partitions totals pass
     through the serial offsets window — O(parts), not O(rows).
     """
-    parted = docs.select(id_col, cost_col)
+    payload = payload_cols or []
+    parted = docs.select(id_col, cost_col, *payload)
     parted = (
         parted.repartitionByRange(num_parts, id_col)
         if num_parts
@@ -138,6 +144,7 @@ def pack_sequences(
             start.alias("start_off"),
             chunk.alias("chunk_id"),
             (end_chunk - chunk + F.lit(1)).alias("n_chunks"),
+            *payload,
         )
     )
 

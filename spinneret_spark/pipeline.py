@@ -580,9 +580,13 @@ def run_curation_phase(
     docs = sinks.read_table(spark, out_root, "pages_text").select(
         "part_id", "url", "lang", "text"
     )
-    flagged = _curation_flags(
-        docs, min_tokens, max_rep_ratio, sample_fraction
-    ).localCheckpoint()  # consumed by the funnel agg AND the write
+    # NO checkpoint here: the funnel aggregate and the pack/write job
+    # share the dedup shuffle's stage output (Spark reuses shuffle
+    # files across jobs on the same lineage — the second job's
+    # upstream stages show as skipped), so the corpus text is never
+    # materialized to the block store just to be read twice
+    flagged = _curation_flags(docs, min_tokens, max_rep_ratio,
+                              sample_fraction)
 
     funnel = flagged.agg(
         F.count(F.lit(1)).alias("after_dedup"),
@@ -596,13 +600,18 @@ def run_curation_phase(
     kept = flagged.where(F.col("_quality_ok") & F.col("_sampled")).drop(
         "_quality_ok", "_sampled"
     )
-    packed = pack_sequences(
+    # payload rides THROUGH the pack's range exchange — attaching
+    # chunk ids via a join back on url would shuffle the text again
+    curated = pack_sequences(
         kept.withColumn("_cost", F.length("text")),
         budget=pack_budget,
         cost_col="_cost",
         id_col="url",
+        payload_cols=["part_id", "lang", "text", "fingerprint"],
+    ).select(
+        "part_id", "url", "lang", "text", "fingerprint",
+        "chunk_id", "n_chunks",
     )
-    curated = kept.join(packed.select("url", "chunk_id", "n_chunks"), "url")
     sinks.write_partitioned(curated, out_root, "pages_curated",
                             full_overwrite=True)
 
