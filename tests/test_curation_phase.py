@@ -76,3 +76,14 @@ def test_curation_on_empty_corpus(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("kg_curate_empty"))
     stats = pipeline.run_curation_phase(spark, root, "run1")
     assert stats["n_in"] == stats["n_curated"] == 0
+
+
+def test_curation_sample_zero_writes_nothing(spark, kg_root):
+    """sample_fraction=0: the funnel reports zero curated rows and no
+    pages_curated files exist (no-files guard, not a crash)."""
+    stats = pipeline.run_curation_phase(
+        spark, kg_root, "run-zero", buckets=BUCKETS, sample_fraction=0.0
+    )
+    assert stats["n_curated"] == 0
+    assert stats["n_chunks"] == 0
+    assert stats["n_after_dedup"] > 0
