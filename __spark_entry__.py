@@ -471,13 +471,22 @@ def q_kg_entity_rollup(spark, sf):
         .alias("canonical_id"),
         "doc_id",
     )
-    return salted_topk_rollup(
+    rolled = salted_topk_rollup(
         assign,
         key="canonical_id",
         val_col="doc_id",
         k=8,
         count_name="n_members",
         list_name="members",
+    )
+    # The driver's oracle harness canonicalizes results via pandas
+    # sort_values, which cannot hash list-typed cells — every checked
+    # query must return SCALAR columns only (array form stays available
+    # to internal callers through salted_topk_rollup itself).
+    return rolled.select(
+        "canonical_id",
+        "n_members",
+        F.concat_ws(",", F.col("members").cast("array<string>")).alias("members"),
     )
 
 
@@ -488,7 +497,7 @@ WITH assign AS (
   FROM documents
 )
 SELECT canonical_id, COUNT(*) AS n_members,
-       (list_sort(list(doc_id)))[1:8] AS members
+       array_to_string((list_sort(list(doc_id)))[1:8], ',') AS members
 FROM assign
 GROUP BY canonical_id
 """
@@ -1020,9 +1029,16 @@ _EML_BASE = "https://portal.edirepository.org/nis/metadataviewer?packageid="
 
 def q_workbook_eml(spark, sf):
     """The reference's flagship operator (workbook.create) over its own
-    3-document corpus, shaped as the mandated pages table. Rows-only
-    driver check (XML extraction is not SQL-expressible); the strict
-    golden-parity gate lives in tests/test_workbook_golden.py."""
+    3-document corpus, shaped as the mandated pages table. The oracle is
+    the reference's own golden TSV
+    (/root/reference/tests/annotation_workbook.tsv) read by DuckDB —
+    the XML extraction itself is not SQL-expressible, but its expected
+    OUTPUT is a flat file, so the driver can hash-compare against it.
+    det_id is recomputed by the oracle (sha256 over url#xpath#element),
+    so the deterministic-id contract is checked too; only the uuid4
+    element_id is excluded, exactly as the reference's own test does
+    (tests/test_workbook.py:29). Strict per-cell parity additionally
+    lives in tests/test_workbook_golden.py."""
     import datetime
     import os
 
@@ -1049,6 +1065,20 @@ def q_workbook_eml(spark, sf):
         ["dataset", "dataTable", "otherEntity", "attribute"],
         _EML_BASE,
     ).drop("element_id")  # uuid4 column: nondeterministic by contract
+
+
+Q_WORKBOOK_EML_SQL = """
+SELECT package_id, url, element, element_xpath,
+       COALESCE(context,'') AS context, COALESCE(subject,'') AS subject,
+       COALESCE(predicate,'') AS predicate,
+       COALESCE(predicate_id,'') AS predicate_id,
+       COALESCE("object",'') AS object, COALESCE(object_id,'') AS object_id,
+       COALESCE(author,'') AS author, COALESCE("date",'') AS "date",
+       COALESCE(comment,'') AS comment,
+       sha256(concat_ws('#', url, element_xpath, element)) AS det_id
+FROM read_csv('/root/reference/tests/annotation_workbook.tsv',
+              delim='\t', header=true, all_varchar=true)
+"""
 
 
 # ----------------------------------------------------------------- curation
@@ -1172,7 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample_stratified": q_curate_sample,
         "curate_pack_sequences": q_curate_pack,
         "vocab_topk_tokens": q_vocab_topk,
-        # rows-only (non-SQL-expressible: XML tree extraction)
+        # oracle = the reference's own golden TSV via DuckDB read_csv
         "workbook_eml": q_workbook_eml,
     }
 
@@ -1213,4 +1243,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_sample_stratified": Q_CURATE_SAMPLE_SQL,
         "curate_pack_sequences": Q_CURATE_PACK_SQL,
         "vocab_topk_tokens": Q_VOCAB_TOPK_SQL,
+        "workbook_eml": Q_WORKBOOK_EML_SQL,
     }

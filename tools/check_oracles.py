@@ -49,6 +49,12 @@ def norm_cell(v):
 
 def value_hash(pdf: pd.DataFrame) -> str:
     cols = sorted(pdf.columns)
+    # Mirror the driver harness: it canonicalizes via pandas sort_values,
+    # which throws on unhashable (list/dict) cells. Running the same call
+    # here means a non-scalar output column fails LOCALLY instead of
+    # being masked by our serializing norm_cell (the round-2
+    # kg_entity_rollup trap).
+    pdf[cols].sort_values(cols)
     rows = sorted(
         "\x1f".join(norm_cell(v) for v in rec)
         for rec in pdf[cols].itertuples(index=False, name=None)
