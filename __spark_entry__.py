@@ -605,13 +605,17 @@ _SH_TABLE = f"SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM documents
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    """Default hash_mode="md5": the inverted index joins on portable
+    8-byte shingle hashes, never shingle strings — the oracle hashes
+    the same strings to the same longs, so results are identical."""
     return ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=JACCARD_THRESHOLD, max_bucket=None
     )
 
 
 Q_DEDUP_JACCARD_SQL = f"""
-WITH sh AS ({_SH_TABLE}),
+WITH sh_str AS ({_SH_TABLE}),
+sh AS (SELECT id, {md5_int_sql("shingle")} AS shingle FROM sh_str),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common

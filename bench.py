@@ -90,10 +90,12 @@ def main() -> None:
     eml_path = os.path.join(
         tempfile.gettempdir(), f"spinneret_bench_eml_{n_eml}"
     )
-    if not os.path.isdir(eml_path):
-        generate_eml_pages(spark, n_eml, num_partitions=64).write.parquet(
-            eml_path
-        )
+    # _SUCCESS is the completeness marker: a crashed prior generation
+    # leaves a partial dir that would silently shrink the benchmark
+    if not os.path.isfile(os.path.join(eml_path, "_SUCCESS")):
+        generate_eml_pages(spark, n_eml, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(eml_path)
     eml_pages = spark.read.parquet(eml_path)
     t0 = time.time()
     wb_rows = create_workbook(
@@ -103,6 +105,21 @@ def main() -> None:
     ).count()
     wb_secs = time.time() - t0
     timings["workbook_100k"] = round(wb_secs, 3)
+
+    # multimodal curation phase: header decode + gates over a synthetic
+    # media corpus (generation cached outside the timed window)
+    from spinneret_spark.sources.mediagen import generate_media
+
+    n_media = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIA_DOCS", "20000"))
+    media = generate_media(spark, n_media, num_partitions=32).cache()
+    media.count()
+    media_root = os.path.join(tempfile.mkdtemp(prefix="bench_media_"), "m")
+    t0 = time.time()
+    pipeline.run_media_phase(
+        spark, media, media_root, f"bench-{uuid.uuid4().hex[:8]}"
+    )
+    timings["media_phase"] = round(time.time() - t0, 3)
+    media.unpersist()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -46,6 +46,15 @@ def main() -> None:
     )
     ap.add_argument("--sample-fraction", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=4096)
+    ap.add_argument(
+        "--media",
+        help="optional media table path/URI (media_id, kind, blob): runs "
+        "the multimodal curation phase (header decode -> resolution/"
+        "duration gates -> media_meta + media_curated)",
+    )
+    ap.add_argument("--min-width", type=int, default=64)
+    ap.add_argument("--min-height", type=int, default=64)
+    ap.add_argument("--max-duration-ms", type=int, default=60_000)
     args = ap.parse_args()
 
     from spinneret_spark import pipeline
@@ -76,6 +85,17 @@ def main() -> None:
             buckets=args.buckets,
             sample_fraction=args.sample_fraction,
             pack_budget=args.pack_budget,
+        )
+    if args.media:
+        stats["media"] = pipeline.run_media_phase(
+            spark,
+            spark.read.parquet(args.media),
+            args.out,
+            args.run_id,
+            buckets=args.buckets,
+            min_width=args.min_width,
+            min_height=args.min_height,
+            max_duration_ms=args.max_duration_ms,
         )
     print(json.dumps(stats))
     spark.stop()

@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = 1000,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
 
@@ -74,12 +75,31 @@ def ngram_jaccard_pairs(
     |A∪B| from per-doc sizes. Jaccard = common/(|A|+|B|-common) is a
     ratio of exact ints, so the filter is engine-stable.
 
+    ``hash_mode`` replaces the shingle STRING with an 8-byte hash
+    before the exchange — the join/groupBy keys shrink from ~30-byte
+    UTF8 (re-hashed at every hash table) to one long. Both engines
+    hash identical strings to identical values, so Jaccard over hashes
+    equals Jaccard over strings (collisions hit both sides the same
+    way; at 61 bits they are ~2^-61 per pair anyway):
+
+    * ``"md5"``   (default) — portable md5-derived long; the DuckDB
+      oracle reproduces it bit-exactly (functions/hashing.md5_int).
+    * ``"xxhash"`` — native xxhash64, cheapest projection; the
+      production setting when no cross-engine oracle is needed.
+    * ``"none"``  — join on raw shingle strings (debugging).
+
     ``max_bucket`` drops shingles shared by more than that many docs
     (stopword-like shingles contribute O(bucket²) candidate rows and
     almost no discrimination — standard practice; drops are visible:
     count them via :func:`hot_shingles`).
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
+    if hash_mode == "md5":
+        sh = sh.select("id", md5_int(F.col("shingle")).alias("shingle"))
+    elif hash_mode == "xxhash":
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    elif hash_mode != "none":
+        raise ValueError(f"hash_mode {hash_mode!r} not in md5|xxhash|none")
     if max_bucket is not None:
         hot = (
             sh.groupBy("shingle")

@@ -285,13 +285,31 @@ def run_extract_phase(
     """
     t0 = time.time()
     pages = with_part_id(pages, buckets)
-    done = sinks.committed_parts(spark, out_root, "triples")
-    done_ids = {r["part_id"] for r in done.collect()}
-    if len(done_ids) >= buckets:
-        # manifest-level short-circuit: part_id = pmod(hash, buckets)
-        # can only take `buckets` values, and every one is committed —
-        # a fully-extracted resume run touches NO data files and runs
-        # ZERO corpus jobs (asserted in tests/test_pipeline_resume.py)
+    # ONE manifest read serves both resume inputs (part ids + bucket
+    # meta); the anti-join side rebuilds as a local DataFrame — no
+    # second scan, and the broadcast below ships the tiny id list
+    done_ids, prior_buckets = sinks.resume_state(spark, out_root, "triples")
+    done = spark.createDataFrame(
+        [(int(p),) for p in sorted(done_ids)], "part_id int"
+    )
+    # part_id = pmod(xxhash64(url), buckets): manifest commits are only
+    # meaningful under the bucket count that produced them. A recorded
+    # mismatch means every resume decision below would be wrong — fail
+    # loudly instead of silently skipping unprocessed pages.
+    if prior_buckets and prior_buckets != {buckets}:
+        raise ValueError(
+            f"manifest at {out_root} was committed with "
+            f"buckets={sorted(prior_buckets)}; this run uses "
+            f"buckets={buckets} — part_id mappings differ; rerun with "
+            "the original bucket count or start a fresh out_root"
+        )
+    if len(done_ids) >= buckets and prior_buckets == {buckets}:
+        # manifest-level short-circuit: part_id can only take `buckets`
+        # values, every one is committed, AND the recorded bucket count
+        # matches — a fully-extracted resume run touches NO data files
+        # and runs ZERO corpus jobs (tests/test_pipeline_resume.py).
+        # Without a recorded count (legacy manifest) we fall through to
+        # the anti-join, which is correct under the match we can't prove.
         return {
             "run_id": run_id,
             "parts_written": 0,
@@ -321,30 +339,50 @@ def run_extract_phase(
     sinks.write_partitioned(triples, out_root, "triples", shuffle=False)
 
     # commit accounting from the durable files (cheap: parquet scan of
-    # just-written partitions, pruned to part_id). A corpus where NO
+    # just-written partitions, pruned to part_id — column-pruned to the
+    # partition column, so it reads footers, not data). BOTH tables are
+    # counted in ONE tagged-union job (the canonicalize pattern): the
+    # pages_text rows_out manifest rows are what later phases (curation
+    # n_in) read instead of re-counting the corpus. A corpus where NO
     # page yields a mention writes an empty table (no partition dirs,
     # no readable schema) — the directory listing guards that case.
-    if _partition_ids(out_root, "triples"):
-        written = sinks.read_table(spark, out_root, "triples")
-        part_counts = (
-            written.join(F.broadcast(done), "part_id", "left_anti")
+    counts = None
+    for tbl in ["triples", "pages_text"]:
+        if not _partition_ids(out_root, tbl):
+            continue
+        g = (
+            sinks.read_table(spark, out_root, tbl)
+            .join(F.broadcast(done), "part_id", "left_anti")
             .groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .select(F.lit(tbl).alias("tbl"), "part_id", "n")
         )
-        new_parts = [(r["part_id"], r["n"]) for r in part_counts]
-    else:
-        new_parts = []
+        counts = g if counts is None else counts.unionByName(g)
+    count_rows = counts.collect() if counts is not None else []
+    new_parts = [
+        (r["part_id"], r["n"]) for r in count_rows if r["tbl"] == "triples"
+    ]
+    page_parts = [
+        (r["part_id"], r["n"]) for r in count_rows if r["tbl"] == "pages_text"
+    ]
     # a part whose pages yield zero mentions writes no triples
     # partition — commit it with n=0 anyway (from the pages_text
-    # partition dirs: a directory listing, the parquet-fallback twin
-    # of an Iceberg manifest read) or every later run re-extracts it
+    # counts) or every later run re-extracts it
     counted = {p for p, _ in new_parts}
-    for p in _partition_ids(out_root, "pages_text"):
+    for p, _ in page_parts:
         if p not in counted and p not in done_ids:
             new_parts.append((p, 0))
     if new_parts:
-        sinks.append_manifest(spark, out_root, run_id, "triples", new_parts)
+        manifest_rows = [("triples", p, n) for p, n in new_parts] + [
+            ("pages_text", p, n) for p, n in page_parts
+        ]
+        if not prior_buckets:
+            # phase-wide part_id-mapping record, keyed to the triples
+            # table (the resume driver); part_id carries the count
+            manifest_rows.append(
+                ("triples", buckets, 0, sinks.BUCKETS_META)
+            )
+        sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
         metrics = spark.createDataFrame(
             [
                 (p, "extract_link", "rows_out", float(n))
@@ -497,8 +535,8 @@ def _curation_flags(
 ) -> DataFrame:
     """docs(part_id, url, lang, text) → same rows deduped + flagged
     (_quality_ok, _sampled). Pure built-ins — zero Python crossings
-    (asserted in tests/test_plans.py); the winner semi-join is the
-    only corpus shuffle."""
+    (asserted in tests/test_plans.py); the min_by dedup aggregation is
+    the only corpus shuffle."""
     from spinneret_spark.functions.text import tokens
     from spinneret_spark.operators.curation import sample_gate
 
@@ -555,8 +593,9 @@ def run_curation_phase(
     with the same manifest + per-stage lineage contract as every
     other table.
 
-    Plan shape: ONE pass computes every gate (the dedup winner join
-    is the only shuffle before packing), one aggregate job reports
+    Plan shape: ONE pass computes every gate (the min_by dedup
+    aggregation is the only shuffle before packing), one aggregate
+    job reports
     the funnel (rows surviving each stage — the numbers a curation
     run is judged by), and the survivors flow into
     :func:`curation.pack_sequences`'s two-phase prefix sum. All
@@ -595,7 +634,13 @@ def run_curation_phase(
             (F.col("_quality_ok") & F.col("_sampled")).cast("long")
         ).alias("curated"),
     ).first()
-    n_in = docs.count()
+    # input row count from the extract phase's manifest commits — an
+    # O(manifest) read, not another full-corpus count() job; the
+    # count() fallback only fires on a legacy out_root whose manifest
+    # predates pages_text commits
+    n_in = sinks.committed_row_total(spark, out_root, "pages_text")
+    if n_in is None:
+        n_in = docs.count()
 
     kept = flagged.where(F.col("_quality_ok") & F.col("_sampled")).drop(
         "_quality_ok", "_sampled"
@@ -616,6 +661,7 @@ def run_curation_phase(
                             full_overwrite=True)
 
     n_chunks = 0
+    parts = []
     if _partition_ids(out_root, "pages_curated"):
         written = sinks.read_table(spark, out_root, "pages_curated")
         parts = written.groupBy("part_id").agg(
@@ -627,26 +673,29 @@ def run_curation_phase(
             [(r["part_id"], r["n"]) for r in parts],
         )
         n_chunks = max((r["mx"] for r in parts), default=0)
-        funnel_rows = [
-            (-1, "curate:input", "rows", float(n_in)),
-            (-1, "curate:dedup", "rows", float(funnel["after_dedup"])),
-            (-1, "curate:quality", "rows", float(funnel["after_quality"])),
-            (-1, "curate:sample", "rows", float(funnel["curated"])),
-            (-1, "curate:pack", "chunks", float(n_chunks)),
-        ] + [
-            (int(r["part_id"]), "curate:write", "rows_out", float(r["n"]))
-            for r in parts
-        ]
-        sinks.append_lineage(
-            spark,
-            out_root,
-            run_id,
-            "pages_curated",
-            spark.createDataFrame(
-                funnel_rows,
-                "part_id int, stage string, metric string, value double",
-            ),
-        )
+    # funnel lineage is UNCONDITIONAL: an empty-output run (e.g.
+    # sample_fraction=0) still computed the funnel, and "this run
+    # curated 0 of N rows" is exactly the record an operator needs
+    funnel_rows = [
+        (-1, "curate:input", "rows", float(n_in)),
+        (-1, "curate:dedup", "rows", float(funnel["after_dedup"])),
+        (-1, "curate:quality", "rows", float(funnel["after_quality"])),
+        (-1, "curate:sample", "rows", float(funnel["curated"])),
+        (-1, "curate:pack", "chunks", float(n_chunks)),
+    ] + [
+        (int(r["part_id"]), "curate:write", "rows_out", float(r["n"]))
+        for r in parts
+    ]
+    sinks.append_lineage(
+        spark,
+        out_root,
+        run_id,
+        "pages_curated",
+        spark.createDataFrame(
+            funnel_rows,
+            "part_id int, stage string, metric string, value double",
+        ),
+    )
     return {
         "run_id": run_id,
         "n_in": n_in,
@@ -654,6 +703,106 @@ def run_curation_phase(
         "n_after_quality": funnel["after_quality"],
         "n_curated": funnel["curated"],
         "n_chunks": int(n_chunks),
+        "seconds": time.time() - t0,
+    }
+
+
+def run_media_phase(
+    spark: SparkSession,
+    media: DataFrame,
+    out_root: str,
+    run_id: str,
+    buckets: int = DEFAULT_BUCKETS,
+    min_width: int = 64,
+    min_height: int = 64,
+    max_duration_ms: int = 60_000,
+) -> dict:
+    """Multimodal curation gate: media (media_id, kind, blob) →
+    header decode → resolution/duration filters → the ``media_meta``
+    (all rows + decoded fields) and ``media_curated`` (survivors)
+    tables, with the same manifest + funnel-lineage contract as the
+    text curation phase.
+
+    Plan shape: the blob crosses into Python EXACTLY once (the Arrow
+    header-decode kernel in multimodal.extract_media_meta); every gate
+    is a JVM-side filter over the decoded metadata, and the curated
+    table carries METADATA ONLY — at 100 TB you don't copy media bytes
+    a second time to record a keep/drop decision; consumers semi-join
+    blobs back by media_id.
+    """
+    from spinneret_spark.operators.multimodal import extract_media_meta
+
+    t0 = time.time()
+    meta = extract_media_meta(media).withColumn(
+        "part_id", F.pmod(F.xxhash64("media_id"), F.lit(buckets)).cast("int")
+    )
+    # decoded (= recognized container) iff a header field materialized;
+    # gates are kind-dispatched: resolution floor for images, duration
+    # ceiling for audio
+    decoded = F.col("width").isNotNull() | F.col("duration_ms").isNotNull()
+    keep = decoded & (
+        F.when(
+            F.col("width").isNotNull(),
+            (F.col("width") >= min_width) & (F.col("height") >= min_height),
+        ).otherwise(F.col("duration_ms") <= max_duration_ms)
+    )
+    flagged = meta.withColumn("_keep", keep).localCheckpoint()
+    # one kernel run feeds both tables and the funnel (the decode is
+    # the expensive pass; everything after reads the materialized rows)
+
+    funnel = flagged.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(decoded.cast("long")).alias("n_decoded"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+    ).first()
+
+    sinks.write_partitioned(
+        flagged.drop("_keep"), out_root, "media_meta", full_overwrite=True
+    )
+    curated = flagged.where("_keep").drop("_keep")
+    sinks.write_partitioned(
+        curated, out_root, "media_curated", full_overwrite=True
+    )
+
+    parts = []
+    manifest_rows = []
+    for tbl in ["media_meta", "media_curated"]:
+        if not _partition_ids(out_root, tbl):
+            continue
+        rows = (
+            sinks.read_table(spark, out_root, tbl)
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        manifest_rows += [(tbl, r["part_id"], r["n"]) for r in rows]
+        if tbl == "media_curated":
+            parts = rows
+    if manifest_rows:
+        sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
+    funnel_rows = [
+        (-1, "media:input", "rows", float(funnel["n_in"])),
+        (-1, "media:decoded", "rows", float(funnel["n_decoded"] or 0)),
+        (-1, "media:kept", "rows", float(funnel["n_kept"] or 0)),
+    ] + [
+        (int(r["part_id"]), "media:write", "rows_out", float(r["n"]))
+        for r in parts
+    ]
+    sinks.append_lineage(
+        spark,
+        out_root,
+        run_id,
+        "media_curated",
+        spark.createDataFrame(
+            funnel_rows,
+            "part_id int, stage string, metric string, value double",
+        ),
+    )
+    return {
+        "run_id": run_id,
+        "n_in": int(funnel["n_in"]),
+        "n_decoded": int(funnel["n_decoded"] or 0),
+        "n_kept": int(funnel["n_kept"] or 0),
         "seconds": time.time() - t0,
     }
 

@@ -87,6 +87,7 @@ def committed_parts(
     root: str,
     table_name: str,
     latest_run_only: bool = False,
+    statuses: tuple[str, ...] = ("committed",),
 ) -> DataFrame:
     """part_ids whose manifest row exists (= durable commits).
 
@@ -97,6 +98,15 @@ def committed_parts(
     ``part_id=`` dirs visible (they'd silently mix stale and fresh
     data). Per-partition incremental tables (triples, pages_text)
     keep the default: every run's commits accumulate.
+
+    ``statuses`` selects which commit kinds count. Batch commits are
+    ``"committed"`` and mean "this ENTIRE part is durably processed" —
+    the resume anti-join keys on exactly that. Streaming micro-batches
+    commit as ``"streamed"``: an append that covers only the batch's
+    own rows, never the whole part — so streamed rows become visible to
+    readers that opt in (``statuses=("committed", "streamed")``)
+    WITHOUT tricking a later batch run into skipping unprocessed pages
+    in those parts (the round-2 interleave data-loss bug).
     """
     path = manifest_path(root)
     try:
@@ -104,7 +114,8 @@ def committed_parts(
     except Exception:
         return spark.createDataFrame([], "part_id int")
     m = m.filter(
-        (F.col("table_name") == table_name) & (F.col("status") == "committed")
+        (F.col("table_name") == table_name)
+        & (F.col("status").isin(list(statuses)))
     )
     if latest_run_only:
         latest = m.orderBy(F.desc("committed_at")).select("run_id").first()
@@ -120,6 +131,7 @@ def append_manifest(
     run_id: str,
     table_name: str,
     part_rows: list[tuple[int, int]],
+    status: str = "committed",
 ) -> None:
     """Record (part_id, rows_out) commits. Append-only, written AFTER
     the data lands — the ordering is the correctness argument: a crash
@@ -127,7 +139,11 @@ def append_manifest(
     partition that the next run simply rewrites (idempotent because
     ids are deterministic and the write mode is dynamic overwrite)."""
     append_manifest_multi(
-        spark, root, run_id, [(table_name, p, n) for p, n in part_rows]
+        spark,
+        root,
+        run_id,
+        [(table_name, p, n) for p, n in part_rows],
+        status=status,
     )
 
 
@@ -135,20 +151,132 @@ def append_manifest_multi(
     spark: SparkSession,
     root: str,
     run_id: str,
-    rows: list[tuple[str, int, int]],
+    rows: list[tuple],
+    status: str = "committed",
 ) -> None:
     """Commit (table_name, part_id, rows_out) rows for SEVERAL tables
     in one manifest write — one job instead of one per table (the
     canonicalize phase commits three tables back-to-back, and at
     two-digit-second phase budgets three serial driver round-trips
-    are measurable)."""
+    are measurable). Rows may carry a fourth element to override
+    ``status`` per row (streaming mixes per-part ``"streamed"`` rows
+    with its batch marker in one write)."""
     now = datetime.datetime.now()
     data = [
-        (run_id, t, int(p), "committed", int(n), now) for t, p, n in rows
+        (run_id, r[0], int(r[1]), r[3] if len(r) > 3 else status, int(r[2]), now)
+        for r in rows
     ]
     spark.createDataFrame(data, MANIFEST_SCHEMA).write.mode("append").parquet(
         manifest_path(root)
     )
+
+
+#: status of the one-row-per-micro-batch marker that makes streaming
+#: replays detectable (exactly-once skip), distinct from part commits.
+BATCH_MARKER = "stream_batch_done"
+
+#: status of the per-table bucket-count record: part_id carries the
+#: bucket count a run's part_id mapping was computed under.
+BUCKETS_META = "meta_buckets"
+
+
+def manifest_run_exists(
+    spark: SparkSession, root: str, run_id: str, table_name: str
+) -> bool:
+    """True iff ``run_id`` already wrote its batch marker for the table
+    — the streaming replay check. Cheap: the manifest is a small
+    driver-side table (one row per part per run)."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return False
+    return bool(
+        m.filter(
+            (F.col("run_id") == run_id)
+            & (F.col("table_name") == table_name)
+            & (F.col("status") == BATCH_MARKER)
+        ).head(1)
+    )
+
+
+def resume_state(
+    spark: SparkSession, root: str, table_name: str
+) -> tuple[set[int], set[int]]:
+    """(committed part ids, recorded bucket counts) in ONE manifest
+    read — the resume hot path runs zero corpus jobs and should pay
+    for exactly one driver round-trip on the (small) manifest."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return set(), set()
+    rows = (
+        m.filter(
+            (F.col("table_name") == table_name)
+            & (F.col("status").isin(["committed", BUCKETS_META]))
+        )
+        .select("part_id", "status")
+        .distinct()
+        .collect()
+    )
+    done = {r["part_id"] for r in rows if r["status"] == "committed"}
+    buckets = {r["part_id"] for r in rows if r["status"] == BUCKETS_META}
+    return done, buckets
+
+
+def committed_row_total(
+    spark: SparkSession, root: str, table_name: str
+) -> int | None:
+    """Total committed rows of a table straight from the manifest —
+    None if the table has no committed rows. Latest commit per part
+    wins (a part re-committed after a crash-rewrite must not double
+    count). This is the O(manifest) substitute for a full-corpus
+    ``count()`` job: at web scale, re-scanning 10^12 pages to learn a
+    number the commit protocol already wrote down is a whole extra
+    job bought for nothing."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return None
+    agg = (
+        m.filter(
+            (F.col("table_name") == table_name)
+            & (F.col("status") == "committed")
+        )
+        .groupBy("part_id")
+        .agg(F.max_by("rows_out", "committed_at").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .first()
+    )
+    return None if agg is None or agg["total"] is None else int(agg["total"])
+
+
+def recorded_buckets(
+    spark: SparkSession, root: str, table_name: str
+) -> set[int]:
+    """Distinct bucket counts any prior run recorded for the table.
+
+    ``part_id = pmod(xxhash64(url), buckets)`` — manifest part commits
+    are only meaningful under the bucket count that produced them, so
+    resume logic must refuse to reuse commits recorded under a
+    different count (the round-2 short-circuit hole)."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return set()
+    rows = (
+        m.filter(
+            (F.col("table_name") == table_name)
+            & (F.col("status") == BUCKETS_META)
+        )
+        .select("part_id")
+        .distinct()
+        .collect()
+    )
+    return {r["part_id"] for r in rows}
 
 
 def append_lineage(
@@ -180,11 +308,13 @@ def read_committed(
     root: str,
     table_name: str,
     latest_run_only: bool = False,
+    statuses: tuple[str, ...] = ("committed",),
 ) -> DataFrame:
     """The consistent view: data ∩ manifest (uncommitted partition
     directories are invisible, exactly like an Iceberg snapshot).
     Pass ``latest_run_only=True`` for whole-corpus tables — see
-    :func:`committed_parts`."""
+    :func:`committed_parts`. Pass ``statuses=("committed",
+    "streamed")`` to additionally see streaming appends."""
     data = read_table(spark, root, table_name)
-    parts = committed_parts(spark, root, table_name, latest_run_only)
+    parts = committed_parts(spark, root, table_name, latest_run_only, statuses)
     return data.join(F.broadcast(parts), "part_id", "inner")

@@ -10,15 +10,28 @@ the same commit semantics as the batch path.
 Write-mode contract (the round-1 bug): micro-batches from different
 triggers land in overlapping ``part_id=`` buckets, so the batch
 path's dynamic-partition OVERWRITE would delete earlier batches'
-rows wholesale — streaming must APPEND. Idempotence across the two
-paths still holds at the manifest level: a part is "committed" once
-any batch writes it, and the batch path's resume anti-join skips
-committed parts, so batch and streaming runs interleave without
-double-writing a part. (Exactly-once within streaming comes from the
-streaming checkpoint: a replayed micro-batch re-runs foreachBatch,
-which is why production deployments put the output in an
-Iceberg/transactional table; the parquet fallback documents
-at-least-once on crash-replay.)
+rows wholesale — streaming must APPEND.
+
+Manifest contract (the round-2 bug): a micro-batch covers only its
+own FILES, never a whole part_id bucket — yet even a tiny batch
+touches nearly every bucket (part_id = pmod(xxhash64(url), buckets)).
+Marking those parts ``"committed"`` would make a later BATCH run's
+resume anti-join (and its fully-committed short-circuit) silently
+skip every unprocessed page in them — data loss, not dedup. Streaming
+therefore commits under the distinct status ``"streamed"``: invisible
+to batch resume, visible to readers that opt in
+(``read_committed(..., statuses=("committed", "streamed"))``).
+
+Exactly-once: the streaming checkpoint replays a micro-batch whose
+trigger completed but whose offsets were not yet committed. Each
+batch writes a one-row ``BATCH_MARKER`` manifest row AFTER its data
+lands; ``process_batch`` consults it first and no-ops on replay, so a
+replayed batch appends nothing. The residual window is a crash
+BETWEEN the data append and the marker write — the replay then
+re-appends that batch's rows (at-least-once for that one batch; the
+parquet fallback cannot attribute loose appended files to a batch).
+The Iceberg ``writeTo`` path closes that window transactionally;
+nothing upstream changes (sinks/tables.py module docstring).
 
 Each batch is ``localCheckpoint()``-ed before the write: the fused
 extract+detect kernel (the expensive Python pass) runs EXACTLY once
@@ -34,6 +47,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spinneret_spark import pipeline
 from spinneret_spark.sinks import tables as sinks
+
+
+def process_micro_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_root: str,
+    run_id: str,
+    buckets: int = pipeline.DEFAULT_BUCKETS,
+) -> None:
+    """One micro-batch: pages → triples APPEND + manifest commit.
+
+    Module-level (not a closure) so the replay contract is directly
+    testable: calling it twice with the same ``batch_id`` must leave
+    the sink unchanged the second time.
+    """
+    session = batch_df.sparkSession
+    batch_run = f"{run_id}-b{batch_id}"
+    # replay skip: the checkpoint re-delivers a batch whose marker
+    # already landed → appending again would duplicate its rows
+    if sinks.manifest_run_exists(session, out_root, batch_run, "triples"):
+        return
+    # refuse to interleave with commits made under a different
+    # part_id mapping — appended rows would land in buckets that
+    # mean something else to every other reader/resumer
+    prior = sinks.recorded_buckets(session, out_root, "triples")
+    if prior and prior != {buckets}:
+        raise ValueError(
+            f"triples manifest was written with buckets={sorted(prior)}; "
+            f"this stream uses buckets={buckets} — part_id mappings "
+            "differ, refusing to mix them"
+        )
+    triples = pipeline.pages_to_triples(
+        pipeline.with_part_id(batch_df, buckets)
+    ).localCheckpoint()  # extract+detect kernel runs ONCE per batch
+    (
+        triples.write.partitionBy("part_id")
+        .mode("append")  # NEVER overwrite: batches share part_ids
+        .parquet(os.path.join(out_root, "triples"))
+    )
+    # counts from the checkpointed blocks — no recompute
+    parts = [
+        (r["part_id"], r["n"])
+        for r in triples.groupBy("part_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    ]
+    # ONE manifest write: per-part "streamed" rows + the replay
+    # marker + (first batch only) the bucket-count record. The
+    # marker goes in even for an empty batch so its replay skips.
+    rows = [("triples", p, n, "streamed") for p, n in parts]
+    rows.append(("triples", -1, sum(n for _, n in parts), sinks.BATCH_MARKER))
+    if not prior:
+        rows.append(("triples", buckets, 0, sinks.BUCKETS_META))
+    sinks.append_manifest_multi(session, out_root, batch_run, rows)
 
 
 def stream_pages_to_triples(
@@ -63,26 +131,7 @@ def stream_pages_to_triples(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        triples = pipeline.pages_to_triples(
-            pipeline.with_part_id(batch_df, buckets)
-        ).localCheckpoint()  # extract+detect kernel runs ONCE per batch
-        (
-            triples.write.partitionBy("part_id")
-            .mode("append")  # NEVER overwrite: batches share part_ids
-            .parquet(os.path.join(out_root, "triples"))
-        )
-        # counts from the checkpointed blocks — no recompute
-        parts = [
-            (r["part_id"], r["n"])
-            for r in triples.groupBy("part_id")
-            .count()
-            .withColumnRenamed("count", "n")
-            .collect()
-        ]
-        if parts:
-            sinks.append_manifest(
-                spark, out_root, f"{run_id}-b{batch_id}", "triples", parts
-            )
+        process_micro_batch(batch_df, batch_id, out_root, run_id, buckets)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -159,3 +159,64 @@ def test_frame_sampling_one_to_many(spark, media):
     # halving the interval doubles the sampled frames
     dense = frame_sample_stub(media, every_ms=500).toPandas()
     assert len(dense[dense["media_id"] == "vid1"]) == 10
+
+
+def test_media_phase_end_to_end(spark, tmp_path_factory):
+    """run_media_phase: header decode -> gates -> media_meta +
+    media_curated with manifest + funnel lineage, mirroring the text
+    curation phase's contract."""
+    from pyspark.sql import functions as F
+
+    from spinneret_spark import pipeline
+    from spinneret_spark.sinks import tables as sinks
+    from spinneret_spark.sources.mediagen import generate_media
+
+    out_root = str(tmp_path_factory.mktemp("media_phase"))
+    media = generate_media(spark, 200, num_partitions=4)
+    stats = pipeline.run_media_phase(
+        spark, media, out_root, "m1", buckets=4,
+        min_width=64, min_height=64, max_duration_ms=1500,
+    )
+    assert stats["n_in"] == 200
+    # 1 in 10 generated blobs is junk -> exactly 180 decode
+    assert stats["n_decoded"] == 180
+    assert 0 < stats["n_kept"] < stats["n_decoded"]
+
+    meta = sinks.read_committed(spark, out_root, "media_meta")
+    curated = sinks.read_committed(spark, out_root, "media_curated")
+    assert meta.count() == 200
+    assert curated.count() == stats["n_kept"]
+    # every gate holds on the curated table
+    bad = curated.where(
+        ~(
+            (F.col("width").isNotNull() & (F.col("width") >= 64)
+             & (F.col("height") >= 64))
+            | (F.col("duration_ms").isNotNull()
+               & (F.col("duration_ms") <= 1500))
+        )
+    ).count()
+    assert bad == 0
+    # junk blobs never reach the curated table
+    assert curated.where(F.col("width").isNull()
+                         & F.col("duration_ms").isNull()).count() == 0
+
+    funnel = (
+        spark.read.parquet(sinks.lineage_path(out_root))
+        .where(F.col("stage").startswith("media:"))
+        .toPandas()
+        .set_index("stage")["value"]
+    )
+    assert funnel.loc["media:input"] == 200.0
+    assert funnel.loc["media:decoded"] == 180.0
+    assert funnel.loc["media:kept"] == float(stats["n_kept"])
+
+
+def test_generate_media_deterministic(spark):
+    from spinneret_spark.sources.mediagen import generate_media
+
+    a = generate_media(spark, 50, num_partitions=2).toPandas()
+    b = generate_media(spark, 50, num_partitions=5).toPandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    assert (a["media_id"] == b["media_id"]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["blob"], b["blob"]))

@@ -48,7 +48,9 @@ def test_multi_batch_append_no_data_loss(spark, corpus_path, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
     _run_stream(spark, corpus_path, out_root, ckpt)
 
-    manifest = spark.read.parquet(sinks.manifest_path(out_root))
+    manifest = spark.read.parquet(sinks.manifest_path(out_root)).filter(
+        F.col("status") == "streamed"  # drop replay markers / meta rows
+    )
     run_ids = {r["run_id"] for r in manifest.select("run_id").distinct().collect()}
     assert len(run_ids) >= 2, f"expected several micro-batches, got {run_ids}"
 
@@ -91,7 +93,9 @@ def test_streaming_equals_batch(spark, corpus_path, tmp_path_factory):
 
     got = sorted(
         r["det_id"]
-        for r in sinks.read_committed(spark, out_root, "triples")
+        for r in sinks.read_committed(
+            spark, out_root, "triples", statuses=("committed", "streamed")
+        )
         .select("det_id")
         .collect()
     )
@@ -102,6 +106,86 @@ def test_streaming_equals_batch(spark, corpus_path, tmp_path_factory):
         .collect()
     )
     assert got == want
+
+
+def test_replayed_micro_batch_is_noop(spark, corpus_path, tmp_path_factory):
+    """Exactly-once under the parquet fallback: the streaming
+    checkpoint can re-deliver a completed micro-batch after a crash;
+    the batch marker in the manifest must make the replay append
+    NOTHING."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("stream_replay"))
+    batch = spark.read.parquet(corpus_path).limit(20)
+    process_micro_batch(batch, 0, out_root, "rp", buckets=BUCKETS)
+    path = os.path.join(out_root, "triples")
+    before = spark.read.parquet(path).count()
+    assert before > 0
+    process_micro_batch(batch, 0, out_root, "rp", buckets=BUCKETS)  # replay
+    assert spark.read.parquet(path).count() == before
+    # a NEW batch id still appends
+    process_micro_batch(batch, 1, out_root, "rp", buckets=BUCKETS)
+    assert spark.read.parquet(path).count() == 2 * before
+
+
+def test_streamed_commits_do_not_poison_batch_resume(
+    spark, corpus_path, tmp_path_factory
+):
+    """The round-2 interleave bug: a small micro-batch touches nearly
+    every part_id bucket; if its commits counted as batch 'committed',
+    a later batch run would anti-join them away and silently skip all
+    unprocessed pages in those parts. Streamed commits must be
+    invisible to batch resume, and a follow-up batch run over the same
+    corpus must produce the complete output."""
+    out_root = str(tmp_path_factory.mktemp("interleave"))
+    ckpt = str(tmp_path_factory.mktemp("interleave_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    # streamed parts are NOT batch-committed...
+    assert not sinks.committed_parts(spark, out_root, "triples").head(1)
+    # ...but are visible to readers that opt in
+    assert sinks.committed_parts(
+        spark, out_root, "triples", statuses=("committed", "streamed")
+    ).head(1)
+
+    # batch run over the same corpus into the same root: must process
+    # every page (dynamic overwrite replaces the streamed appends)
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, out_root, "b1", buckets=BUCKETS,
+                 canonicalize=False)
+
+    pure_root = str(tmp_path_factory.mktemp("interleave_pure"))
+    pipeline.run(spark, pages, pure_root, "b2", buckets=BUCKETS,
+                 canonicalize=False)
+    got = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, out_root, "triples")
+        .select("det_id").collect()
+    )
+    want = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, pure_root, "triples")
+        .select("det_id").collect()
+    )
+    assert got == want and got
+
+
+def test_bucket_count_mismatch_fails_loudly(spark, corpus_path, tmp_path_factory):
+    """Part commits are only meaningful under the bucket count that
+    produced them — resuming (batch or stream) under a different count
+    must raise, not silently mis-skip."""
+    out_root = str(tmp_path_factory.mktemp("bucket_guard"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, out_root, "g1", buckets=BUCKETS,
+                 canonicalize=False)
+    with pytest.raises(ValueError, match="buckets"):
+        pipeline.run_extract_phase(spark, pages, out_root, "g2",
+                                   buckets=BUCKETS * 2)
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    with pytest.raises(ValueError, match="buckets"):
+        process_micro_batch(pages.limit(5), 0, out_root, "g3",
+                            buckets=BUCKETS * 2)
 
 
 def test_stream_restart_is_noop(spark, corpus_path, tmp_path_factory):
