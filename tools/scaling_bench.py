@@ -76,8 +76,45 @@ shutil.rmtree(warm_root, ignore_errors=True)
 """
 
 
-def run_once(corpus: str, cores: int, full: bool, curate: bool = False) -> dict:
-    code = _RUN_TEMPLATE.format(
+_MEDIA_RUN_TEMPLATE = r"""
+import json, os, sys, tempfile, time, shutil
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
+os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+os.environ["TMPDIR"] = "/dev/shm"
+tempfile.tempdir = None
+from spinneret_spark.session import get_spark
+from spinneret_spark import pipeline
+
+spark = get_spark(app_name="scaling-media-{cores}", master="local[{cores}]",
+                  shuffle_partitions=64,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
+spark.sparkContext.setLogLevel("ERROR")
+media = spark.read.parquet({corpus!r})
+n = media.count()
+
+warm_root = os.path.join(tempfile.mkdtemp(), "m")
+pipeline.run_media_phase(spark, media.limit(2000), warm_root, "warm")
+
+root = os.path.join(tempfile.mkdtemp(), "m")
+t0 = time.time()
+pipeline.run_media_phase(spark, media, root, "scale")
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "seconds": dt,
+                               "pages": n, "pages_per_sec": n / dt}}))
+spark.stop()
+shutil.rmtree(root, ignore_errors=True)
+shutil.rmtree(warm_root, ignore_errors=True)
+"""
+
+
+def run_once(
+    corpus: str, cores: int, full: bool, curate: bool = False,
+    media: bool = False,
+) -> dict:
+    template = _MEDIA_RUN_TEMPLATE if media else _RUN_TEMPLATE
+    code = template.format(
         repo=REPO, cores=cores, corpus=corpus, full=full, curate=curate
     )
     out = subprocess.run(
@@ -120,9 +157,23 @@ def main() -> None:
             levels = (int(lo), int(hi))
     full = "--extract-only" not in sys.argv
     curate = "--curate" in sys.argv
+    media = "--media" in sys.argv
 
     # materialize the corpus once, on disk, shared by both runs
-    gen_code = f"""
+    if media:
+        gen_code = f"""
+import sys, os
+sys.path.insert(0, {REPO!r})
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+from spinneret_spark.session import get_spark
+from spinneret_spark.sources.mediagen import generate_media
+spark = get_spark(app_name="gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+generate_media(spark, {n_pages}, num_partitions=64).write.parquet(sys.argv[1])
+spark.stop()
+"""
+    else:
+        gen_code = f"""
 import sys, os
 sys.path.insert(0, {REPO!r})
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
@@ -150,8 +201,8 @@ spark.stop()
         # hits both sides alike; every run is its own fresh JVM
         runs_lo, runs_hi = [], []
         for i in range(n_runs):
-            runs_lo.append(run_once(corpus, lo, full, curate))
-            runs_hi.append(run_once(corpus, hi, full, curate))
+            runs_lo.append(run_once(corpus, lo, full, curate, media))
+            runs_hi.append(run_once(corpus, hi, full, curate, media))
             print(
                 f"run {i + 1}/{n_runs}: t{lo}={runs_lo[-1]['seconds']:.1f}s "
                 f"t{hi}={runs_hi[-1]['seconds']:.1f}s",
@@ -169,9 +220,13 @@ spark.stop()
         "n_pages": n_pages,
         "runs": n_runs,
         "levels": f"local[{lo}] -> local[{hi}]",
-        "phase": "extract+link+triples"
-        + ("+canonicalize" if full else "")
-        + ("+curate" if curate else ""),
+        "phase": "media-curation"
+        if media
+        else (
+            "extract+link+triples"
+            + ("+canonicalize" if full else "")
+            + ("+curate" if curate else "")
+        ),
         "t_n_sec": round(t_lo, 1),
         "t_4n_sec": round(t_hi, 1),
         "t_n_all": [round(r["seconds"], 1) for r in runs_lo],
