@@ -747,14 +747,8 @@ def run_media_phase(
         ).otherwise(F.col("duration_ms") <= max_duration_ms)
     )
     flagged = meta.withColumn("_keep", keep).localCheckpoint()
-    # one kernel run feeds both tables and the funnel (the decode is
-    # the expensive pass; everything after reads the materialized rows)
-
-    funnel = flagged.agg(
-        F.count(F.lit(1)).alias("n_in"),
-        F.sum(decoded.cast("long")).alias("n_decoded"),
-        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
-    ).first()
+    # one kernel run feeds both tables (the decode is the expensive
+    # pass; everything after reads the materialized rows)
 
     sinks.write_partitioned(
         flagged.drop("_keep"), out_root, "media_meta", full_overwrite=True
@@ -764,26 +758,40 @@ def run_media_phase(
         curated, out_root, "media_curated", full_overwrite=True
     )
 
-    parts = []
-    manifest_rows = []
+    # commit accounting AND funnel in ONE tagged-union job over the
+    # written tables + ONE manifest write. Driver-job fixed costs are
+    # the phase's serial fraction — they cap N→4N efficiency on short
+    # runs — so the per-part counts, decode counts, and keep counts
+    # all come out of a single action; the funnel totals are
+    # driver-side sums of the same rows.
+    counts = None
     for tbl in ["media_meta", "media_curated"]:
         if not _partition_ids(out_root, tbl):
             continue
-        rows = (
+        g = (
             sinks.read_table(spark, out_root, tbl)
             .groupBy("part_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(decoded.cast("long")).alias("n_dec"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "part_id", "n", "n_dec")
         )
-        manifest_rows += [(tbl, r["part_id"], r["n"]) for r in rows]
-        if tbl == "media_curated":
-            parts = rows
+        counts = g if counts is None else counts.unionByName(g)
+    count_rows = counts.collect() if counts is not None else []
+    manifest_rows = [(r["tbl"], r["part_id"], r["n"]) for r in count_rows]
+    parts = [r for r in count_rows if r["tbl"] == "media_curated"]
     if manifest_rows:
         sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
+    n_in = sum(r["n"] for r in count_rows if r["tbl"] == "media_meta")
+    n_decoded = sum(
+        r["n_dec"] or 0 for r in count_rows if r["tbl"] == "media_meta"
+    )
+    n_kept = sum(r["n"] for r in parts)
     funnel_rows = [
-        (-1, "media:input", "rows", float(funnel["n_in"])),
-        (-1, "media:decoded", "rows", float(funnel["n_decoded"] or 0)),
-        (-1, "media:kept", "rows", float(funnel["n_kept"] or 0)),
+        (-1, "media:input", "rows", float(n_in)),
+        (-1, "media:decoded", "rows", float(n_decoded)),
+        (-1, "media:kept", "rows", float(n_kept)),
     ] + [
         (int(r["part_id"]), "media:write", "rows_out", float(r["n"]))
         for r in parts
@@ -800,9 +808,9 @@ def run_media_phase(
     )
     return {
         "run_id": run_id,
-        "n_in": int(funnel["n_in"]),
-        "n_decoded": int(funnel["n_decoded"] or 0),
-        "n_kept": int(funnel["n_kept"] or 0),
+        "n_in": int(n_in),
+        "n_decoded": int(n_decoded),
+        "n_kept": int(n_kept),
         "seconds": time.time() - t0,
     }
 

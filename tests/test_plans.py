@@ -145,3 +145,21 @@ def test_curation_flags_plan_is_jvm_only(spark, docs):
     )
     flagged = pipeline._curation_flags(d, 5, 0.98, 0.8)
     assert count_python_crossings(flagged) == 0
+
+
+def test_media_meta_single_python_crossing(spark):
+    """The media phase's only Python pass is the header-decode kernel:
+    one mapInPandas crossing; every gate afterwards is a JVM filter."""
+    from spinneret_spark.operators.multimodal import extract_media_meta
+    from spinneret_spark.sources.mediagen import generate_media
+
+    media = generate_media(spark, 20, num_partitions=2)
+    meta = extract_media_meta(media).withColumn(
+        "part_id", F.pmod(F.xxhash64("media_id"), F.lit(4)).cast("int")
+    )
+    gated = meta.where(
+        F.col("width").isNotNull() & (F.col("width") >= 64)
+    )
+    # generate_media itself is one crossing; decode adds exactly one
+    assert count_python_crossings(gated) == 2
+    assert count_exchanges(gated) == 0
