@@ -253,6 +253,68 @@ def committed_row_total(
     return None if agg is None or agg["total"] is None else int(agg["total"])
 
 
+def stream_marker_runs(
+    spark: SparkSession, root: str, table_name: str
+) -> set[str]:
+    """All attempt-unique streaming batch markers for the table.
+
+    A marker names the attempt whose data append completed; attempts
+    that crashed pre-marker are never named, which is what lets
+    :func:`read_streamed_consistent` hide their orphan rows."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return set()
+    rows = (
+        m.filter(
+            (F.col("table_name") == table_name)
+            & (F.col("status") == BATCH_MARKER)
+        )
+        .select("run_id")
+        .distinct()
+        .collect()
+    )
+    return {r["run_id"] for r in rows}
+
+
+def read_streamed_consistent(
+    spark: SparkSession, root: str, table_name: str
+) -> DataFrame:
+    """Row-level consistent view of a table fed by BOTH the batch path
+    and streaming appends — the parquet-fallback equivalent of reading
+    an Iceberg snapshot:
+
+    * batch-written rows (no ``_batch_run`` tag) are visible iff their
+      part's batch commit exists (part-level is exact there: dynamic
+      overwrite rewrites whole partitions);
+    * streamed rows are visible iff their attempt tag appears as a
+      ``BATCH_MARKER`` — rows from an attempt that crashed between the
+      data append and the marker write are invisible FOREVER (its
+      replay runs under a fresh attempt id), so streamed reads are
+      exactly-once even across crash replays.
+
+    ``mergeSchema`` reconciles files with and without the tag column.
+    """
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, table_name))
+    )
+    if "_batch_run" not in data.columns:
+        data = data.withColumn("_batch_run", F.lit(None).cast("string"))
+    parts = committed_parts(spark, root, table_name)
+    batch_rows = data.where(F.col("_batch_run").isNull()).join(
+        F.broadcast(parts), "part_id", "inner"
+    )
+    markers = sorted(stream_marker_runs(spark, root, table_name))
+    stream_rows = data.where(
+        F.col("_batch_run").isin(markers)
+        if markers
+        else F.lit(False)
+    )
+    return batch_rows.unionByName(stream_rows).drop("_batch_run")
+
+
 def recorded_buckets(
     spark: SparkSession, root: str, table_name: str
 ) -> set[int]:

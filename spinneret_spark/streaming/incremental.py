@@ -23,15 +23,23 @@ to batch resume, visible to readers that opt in
 (``read_committed(..., statuses=("committed", "streamed"))``).
 
 Exactly-once: the streaming checkpoint replays a micro-batch whose
-trigger completed but whose offsets were not yet committed. Each
-batch writes a one-row ``BATCH_MARKER`` manifest row AFTER its data
-lands; ``process_batch`` consults it first and no-ops on replay, so a
-replayed batch appends nothing. The residual window is a crash
-BETWEEN the data append and the marker write — the replay then
-re-appends that batch's rows (at-least-once for that one batch; the
-parquet fallback cannot attribute loose appended files to a batch).
-The Iceberg ``writeTo`` path closes that window transactionally;
-nothing upstream changes (sinks/tables.py module docstring).
+trigger completed but whose offsets were not yet committed. Two
+layers close it fully under the plain-parquet fallback:
+
+1. **Replay skip** — each batch writes a one-row ``BATCH_MARKER``
+   manifest row AFTER its data lands; ``process_batch`` consults it
+   first and no-ops on replay, so a replayed completed batch appends
+   nothing.
+2. **Attempt attribution** — every streamed row carries an
+   attempt-unique ``_batch_run`` tag (``{run}-b{id}-{uuid}``), and
+   the marker records the WINNING attempt. A crash between the data
+   append and the marker write leaves orphan rows whose attempt tag
+   no marker ever names; :func:`read_streamed_consistent` keeps only
+   rows whose tag appears in a marker, so orphans are invisible
+   forever — exactly the snapshot-pointer semantics Iceberg provides,
+   expressed as data (one dictionary-encoded constant column per
+   file) plus the manifest. The replayed attempt gets a fresh uuid,
+   so its rows and the orphans can never be confused.
 
 Each batch is ``localCheckpoint()``-ed before the write: the fused
 extract+detect kernel (the expensive Python pass) runs EXACTLY once
@@ -42,8 +50,10 @@ materialized blocks instead of re-deriving the lineage.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spinneret_spark import pipeline
 from spinneret_spark.sinks import tables as sinks
@@ -65,8 +75,11 @@ def process_micro_batch(
     session = batch_df.sparkSession
     batch_run = f"{run_id}-b{batch_id}"
     # replay skip: the checkpoint re-delivers a batch whose marker
-    # already landed → appending again would duplicate its rows
-    if sinks.manifest_run_exists(session, out_root, batch_run, "triples"):
+    # already landed → appending again would duplicate its rows.
+    # Markers are attempt-unique ("{batch_run}-{uuid}"), so the check
+    # is a prefix match; "-b1-" cannot collide with "-b11-".
+    markers = sinks.stream_marker_runs(session, out_root, "triples")
+    if any(m.startswith(batch_run + "-") for m in markers):
         return
     # refuse to interleave with commits made under a different
     # part_id mapping — appended rows would land in buckets that
@@ -78,9 +91,15 @@ def process_micro_batch(
             f"this stream uses buckets={buckets} — part_id mappings "
             "differ, refusing to mix them"
         )
-    triples = pipeline.pages_to_triples(
-        pipeline.with_part_id(batch_df, buckets)
-    ).localCheckpoint()  # extract+detect kernel runs ONCE per batch
+    attempt = f"{batch_run}-{uuid.uuid4().hex[:12]}"
+    triples = (
+        pipeline.pages_to_triples(pipeline.with_part_id(batch_df, buckets))
+        # attempt attribution: a constant per file (dictionary-encoded,
+        # ~free) that lets the consistent reader exclude orphan rows
+        # from an attempt that crashed before its marker landed
+        .withColumn("_batch_run", F.lit(attempt))
+        .localCheckpoint()  # extract+detect kernel runs ONCE per batch
+    )
     (
         triples.write.partitionBy("part_id")
         .mode("append")  # NEVER overwrite: batches share part_ids
@@ -94,14 +113,16 @@ def process_micro_batch(
         .withColumnRenamed("count", "n")
         .collect()
     ]
-    # ONE manifest write: per-part "streamed" rows + the replay
-    # marker + (first batch only) the bucket-count record. The
-    # marker goes in even for an empty batch so its replay skips.
+    # ONE manifest write, all rows keyed by the attempt id (its
+    # "{batch_run}-" prefix keeps per-batch lineage greppable):
+    # per-part "streamed" rows + the attempt-unique replay marker +
+    # (first batch only) the bucket-count record. The marker goes in
+    # even for an empty batch so its replay skips.
     rows = [("triples", p, n, "streamed") for p, n in parts]
     rows.append(("triples", -1, sum(n for _, n in parts), sinks.BATCH_MARKER))
     if not prior:
         rows.append(("triples", buckets, 0, sinks.BUCKETS_META))
-    sinks.append_manifest_multi(session, out_root, batch_run, rows)
+    sinks.append_manifest_multi(session, out_root, attempt, rows)
 
 
 def stream_pages_to_triples(

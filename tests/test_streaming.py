@@ -93,9 +93,7 @@ def test_streaming_equals_batch(spark, corpus_path, tmp_path_factory):
 
     got = sorted(
         r["det_id"]
-        for r in sinks.read_committed(
-            spark, out_root, "triples", statuses=("committed", "streamed")
-        )
+        for r in sinks.read_streamed_consistent(spark, out_root, "triples")
         .select("det_id")
         .collect()
     )
@@ -186,6 +184,54 @@ def test_bucket_count_mismatch_fails_loudly(spark, corpus_path, tmp_path_factory
     with pytest.raises(ValueError, match="buckets"):
         process_micro_batch(pages.limit(5), 0, out_root, "g3",
                             buckets=BUCKETS * 2)
+
+
+def test_orphan_attempt_rows_stay_invisible(spark, corpus_path, tmp_path_factory):
+    """A batch that crashes BETWEEN its data append and its marker
+    write leaves orphan rows. Its attempt tag is never named by a
+    marker, so read_streamed_consistent must hide the orphans forever
+    — and the successful replay (fresh attempt id) must not resurrect
+    them."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("orphans"))
+    batch = spark.read.parquet(corpus_path).limit(20)
+    process_micro_batch(batch, 0, out_root, "x", buckets=BUCKETS)
+    good = sinks.read_streamed_consistent(spark, out_root, "triples").count()
+    assert good > 0
+
+    # simulate the crashed attempt of batch 1: data lands, marker never
+    # written (exactly what process_micro_batch does before its final
+    # manifest append)
+    from spinneret_spark import pipeline as pl
+
+    orphans = (
+        pl.pages_to_triples(pl.with_part_id(batch, BUCKETS))
+        .withColumn("_batch_run", F.lit("x-b1-deadbeefcafe"))
+    )
+    orphans.write.partitionBy("part_id").mode("append").parquet(
+        _os.path.join(out_root, "triples")
+    )
+    n_orphans = orphans.count()
+    assert (
+        sinks.read_streamed_consistent(spark, out_root, "triples").count()
+        == good
+    ), "orphan rows from a crashed attempt leaked into the consistent view"
+
+    # the replay of batch 1 succeeds under a fresh attempt id: its rows
+    # become visible, the orphans stay hidden
+    process_micro_batch(batch, 1, out_root, "x", buckets=BUCKETS)
+    after = sinks.read_streamed_consistent(spark, out_root, "triples").count()
+    assert after == 2 * good
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(out_root, "triples")
+    )
+    assert raw.count() == 2 * good + n_orphans  # orphans exist on disk…
+    # …and exactly the marker-named attempts are readable
 
 
 def test_stream_restart_is_noop(spark, corpus_path, tmp_path_factory):
