@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_bucket: int | None = 1000,
     hash_mode: str = "md5",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
 
@@ -74,6 +75,16 @@ def ngram_jaccard_pairs(
     shingle (sort-merge/hash under AQE) → per-pair common count →
     |A∪B| from per-doc sizes. Jaccard = common/(|A|+|B|-common) is a
     ratio of exact ints, so the filter is engine-stable.
+
+    ``materialize`` (default) checkpoints the hashed shingle relation
+    before it fans out: the self-join's two sides, the size
+    aggregation, and the hot-bucket scan would otherwise each replay
+    the shingle build — the most expensive expression in the plan —
+    3-4×. Measured at sf0.1: 2.9s → 1.9s warm, 6.4s → 2.5s cold. The
+    stored relation is (id, long) rows — far smaller than the text it
+    derives from; at cluster scale swap the localCheckpoint for
+    ``persist(MEMORY_AND_DISK)`` if lineage-based recovery on executor
+    loss matters more than driver-free cleanup.
 
     ``hash_mode`` replaces the shingle STRING with an 8-byte hash
     before the exchange — the join/groupBy keys shrink from ~30-byte
@@ -100,6 +111,8 @@ def ngram_jaccard_pairs(
         sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     elif hash_mode != "none":
         raise ValueError(f"hash_mode {hash_mode!r} not in md5|xxhash|none")
+    if materialize:
+        sh = sh.localCheckpoint()
     if max_bucket is not None:
         hot = (
             sh.groupBy("shingle")
