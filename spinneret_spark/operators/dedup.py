@@ -319,6 +319,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int | None = 500,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH blocking: distinct candidate pairs (id_a < id_b).
 
@@ -328,7 +329,16 @@ def lsh_candidate_pairs(
     at web scale) are capped at ``max_bucket`` docs — beyond that the
     bucket is dropped (its members are still found via other bands or
     the verify stage); AQE skew-join splits what remains.
+
+    ``materialize`` (default) checkpoints the signature relation
+    first: the self-join's sides and the hot-bucket scan otherwise
+    each replay the upstream signature computation (the MinHash
+    aggregation / Arrow kernel). Signatures are k longs per doc —
+    tiny next to their build cost. Measured at sf0.1: 4.5s → 2.2s
+    cold, warm within noise (exchange reuse covers part of it).
     """
+    if materialize:
+        signatures = signatures.localCheckpoint()
     band_cols = []
     for bnd in range(bands):
         cols = [
