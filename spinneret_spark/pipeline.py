@@ -23,6 +23,7 @@ overwrites.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 
@@ -318,6 +319,46 @@ def run_extract_phase(
         }
     todo = pages.join(F.broadcast(done), "part_id", "left_anti")
 
+    # Interleave guard (round-3 ADVICE, high): dynamic overwrite
+    # rewrites every part this run produces rows for — WHOLESALE,
+    # streamed appends included. A page that arrived only via streaming
+    # would be destroyed without replacement if the batch input doesn't
+    # cover it, so when markers exist, verify coverage of the
+    # marker-valid streamed pages in the parts this run will rewrite
+    # and fail loudly on a gap. (Runs zero extra jobs on a never-
+    # streamed root: the marker check is one manifest read. A streamed
+    # page with zero mentions left no durable record at all, so only
+    # pages with streamed rows are checkable — documented limit.)
+    markers = sinks.stream_marker_runs(spark, out_root, "triples")
+    if markers and _partition_ids(out_root, "triples"):
+        streamed_pages = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(out_root, "triples"))
+            .where(F.col("_batch_run").isin(sorted(markers)))
+            .select("part_id", F.col("subj").alias("url"))
+            .distinct()
+        )
+        batch_urls = todo.select("part_id", "url")
+        # a streamed page is at risk iff (a) the batch input misses it
+        # AND (b) the batch rewrites its part (= input has rows there)
+        lost = (
+            streamed_pages.join(batch_urls, ["part_id", "url"], "left_anti")
+            .join(
+                batch_urls.select("part_id").distinct(),
+                "part_id",
+                "left_semi",
+            )
+            .head(5)
+        )
+        if lost:
+            sample = ", ".join(r["url"] for r in lost)
+            raise ValueError(
+                "batch run would overwrite parts holding streamed pages "
+                f"its input does not cover (e.g. {sample}); rerun with a "
+                "batch input that includes the streamed pages, or vacuum/"
+                "reprocess the streamed appends first"
+            )
+
     # ONE Python crossing for the whole phase: extract + detect fused,
     # pages_text materialized WITH the per-page norms array, and the
     # triples table derived from the durable pages_text by a pure-JVM
@@ -346,12 +387,19 @@ def run_extract_phase(
     # n_in) read instead of re-counting the corpus. A corpus where NO
     # page yields a mention writes an empty table (no partition dirs,
     # no readable schema) — the directory listing guards that case.
+    # The read filters to BATCH rows (explicit schema + tag-null
+    # predicate — no schema-merge job): leftover streamed appends and
+    # crashed-attempt orphans in parts this run did NOT rewrite must
+    # never be counted into a part's "committed" row, or a later
+    # resume anti-joins that part away and skips its unprocessed pages
+    # (round-3 ADVICE, high).
+    schemas = {"triples": triples.schema, "pages_text": enriched.schema}
     counts = None
     for tbl in ["triples", "pages_text"]:
         if not _partition_ids(out_root, tbl):
             continue
         g = (
-            sinks.read_table(spark, out_root, tbl)
+            sinks.read_table_batch_rows(spark, out_root, tbl, schemas[tbl])
             .join(F.broadcast(done), "part_id", "left_anti")
             .groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -372,17 +420,22 @@ def run_extract_phase(
     for p, _ in page_parts:
         if p not in counted and p not in done_ids:
             new_parts.append((p, 0))
-    if new_parts:
-        manifest_rows = [("triples", p, n) for p, n in new_parts] + [
-            ("pages_text", p, n) for p, n in page_parts
-        ]
-        if not prior_buckets:
-            # phase-wide part_id-mapping record, keyed to the triples
-            # table (the resume driver); part_id carries the count
-            manifest_rows.append(
-                ("triples", buckets, 0, sinks.BUCKETS_META)
-            )
+    manifest_rows = [("triples", p, n) for p, n in new_parts] + [
+        ("pages_text", p, n) for p, n in page_parts
+    ]
+    if not prior_buckets and (new_parts or done_ids):
+        # phase-wide part_id-mapping record, keyed to the triples
+        # table (the resume driver); part_id carries the count.
+        # Appended even when this run wrote nothing NEW: a legacy
+        # manifest (pre-meta) that is already fully extracted has just
+        # proven — via the anti-join pass that found no work — that
+        # its commits match this bucket count, and recording that lets
+        # every future resume take the zero-job short-circuit instead
+        # of paying the corpus-scan anti-join forever (round-3 ADVICE).
+        manifest_rows.append(("triples", buckets, 0, sinks.BUCKETS_META))
+    if manifest_rows:
         sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
+    if new_parts:
         metrics = spark.createDataFrame(
             [
                 (p, "extract_link", "rows_out", float(n))
@@ -635,10 +688,19 @@ def run_curation_phase(
         ).alias("curated"),
     ).first()
     # input row count from the extract phase's manifest commits — an
-    # O(manifest) read, not another full-corpus count() job; the
-    # count() fallback only fires on a legacy out_root whose manifest
-    # predates pages_text commits
+    # O(manifest) read, not another full-corpus count() job. The
+    # count() fallback fires on a legacy out_root whose manifest
+    # predates pages_text commits — including the PARTIAL case
+    # (round-3 ADVICE, medium): parts extracted by the old code have
+    # triples commits but no pages_text rows, so a non-None total that
+    # doesn't cover every triples part is an undercount, not an answer
     n_in = sinks.committed_row_total(spark, out_root, "pages_text")
+    if n_in is not None:
+        cov = sinks.committed_part_map(
+            spark, out_root, ["pages_text", "triples"]
+        )
+        if cov["triples"] - cov["pages_text"]:
+            n_in = None
     if n_in is None:
         n_in = docs.count()
 

@@ -79,7 +79,40 @@ def write_partitioned(
 
 
 def read_table(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+    """RAW file-level read — no manifest consultation, no visibility
+    filtering. Internal helper for accounting over just-written data;
+    consumers wanting the consistent view must go through
+    :func:`read_committed` (which hides uncommitted partitions,
+    crashed-attempt streaming orphans, and replay duplicates)."""
     return spark.read.parquet(os.path.join(root, table_name))
+
+
+def read_table_batch_rows(
+    spark: SparkSession, root: str, table_name: str, schema
+) -> DataFrame:
+    """Rows written by the BATCH path only: any row carrying a
+    streaming attempt tag (``_batch_run``) — streamed appends *and*
+    crashed-attempt orphans — is excluded.
+
+    ``schema`` is the table's batch schema (a StructType); the read
+    uses it explicitly with the tag column appended, so files written
+    without the tag column yield NULL for it and NO schema-merge
+    footer job ever runs — this is the zero-extra-cost way for batch
+    commit accounting to stay exact on an out_root that streaming has
+    also appended to (the round-3 interleave accounting bug: counting
+    leftover streamed rows into a part's batch commit makes a later
+    resume skip that part's unprocessed pages)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sch = StructType(
+        list(schema.fields) + [StructField("_batch_run", StringType())]
+    )
+    return (
+        spark.read.schema(sch)
+        .parquet(os.path.join(root, table_name))
+        .where(F.col("_batch_run").isNull())
+        .drop("_batch_run")
+    )
 
 
 def committed_parts(
@@ -294,25 +327,13 @@ def read_streamed_consistent(
       replay runs under a fresh attempt id), so streamed reads are
       exactly-once even across crash replays.
 
-    ``mergeSchema`` reconciles files with and without the tag column.
+    Thin alias for ``read_committed(..., statuses=("committed",
+    "streamed"))`` — one implementation of the visibility rules lives
+    in :func:`read_committed`.
     """
-    data = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(root, table_name))
+    return read_committed(
+        spark, root, table_name, statuses=("committed", "streamed")
     )
-    if "_batch_run" not in data.columns:
-        data = data.withColumn("_batch_run", F.lit(None).cast("string"))
-    parts = committed_parts(spark, root, table_name)
-    batch_rows = data.where(F.col("_batch_run").isNull()).join(
-        F.broadcast(parts), "part_id", "inner"
-    )
-    markers = sorted(stream_marker_runs(spark, root, table_name))
-    stream_rows = data.where(
-        F.col("_batch_run").isin(markers)
-        if markers
-        else F.lit(False)
-    )
-    return batch_rows.unionByName(stream_rows).drop("_batch_run")
 
 
 def recorded_buckets(
@@ -365,6 +386,92 @@ def append_lineage(
     )
 
 
+def committed_part_map(
+    spark: SparkSession, root: str, table_names: list[str]
+) -> dict[str, set[int]]:
+    """Batch-committed part ids for SEVERAL tables in ONE manifest
+    read — coverage comparisons (e.g. "do pages_text commits cover the
+    triples commits?") should not pay one driver round-trip per
+    table."""
+    path = manifest_path(root)
+    out: dict[str, set[int]] = {t: set() for t in table_names}
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return out
+    rows = (
+        m.filter(
+            F.col("table_name").isin(table_names)
+            & (F.col("status") == "committed")
+        )
+        .select("table_name", "part_id")
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        out[r["table_name"]].add(r["part_id"])
+    return out
+
+
+def vacuum_streamed(
+    spark: SparkSession, root: str, table_name: str
+) -> int:
+    """Delete data files left by streaming attempts that never wrote
+    their ``BATCH_MARKER`` — the expire-snapshots half of the Iceberg
+    emulation. Returns the number of files deleted.
+
+    :func:`read_streamed_consistent` already hides those orphan rows
+    forever (their attempt tag is named by no marker), but the parquet
+    files themselves accumulate; this reclaims them. Safe by
+    construction: every streamed file carries exactly ONE attempt's
+    constant ``_batch_run`` value (the tag is stamped before the
+    append job), and batch-written files have no tag column at all —
+    so a file is deletable iff any of its rows carries an unmarked
+    tag. Markers stay in the manifest, so a replayed batch still
+    no-ops after a vacuum. Deletion goes through the driver's local
+    filesystem here; on a cluster the same file list feeds the Hadoop
+    FileSystem API (or Iceberg's ``expire_snapshots``)."""
+    from urllib.parse import unquote, urlparse
+
+    markers = stream_marker_runs(spark, root, table_name)
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, table_name))
+    )
+    if "_batch_run" not in data.columns:
+        return 0
+    tagged = data.where(F.col("_batch_run").isNotNull())
+    if markers:
+        tagged = tagged.where(~F.col("_batch_run").isin(sorted(markers)))
+    files = [
+        r["f"]
+        for r in tagged.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    for f in files:
+        p = urlparse(f)
+        os.remove(unquote(p.path) if p.scheme in ("file", "") else f)
+    return len(files)
+
+
+def _manifest_rows(spark: SparkSession, root: str, table_name: str) -> list:
+    """All manifest rows for a table, ONE driver round-trip. The
+    manifest is small (one row per part per run) — every visibility
+    decision in :func:`read_committed` derives from this single
+    collect instead of one manifest job per question."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return []
+    return (
+        m.filter(F.col("table_name") == table_name)
+        .select("run_id", "part_id", "status", "committed_at")
+        .collect()
+    )
+
+
 def read_committed(
     spark: SparkSession,
     root: str,
@@ -372,11 +479,64 @@ def read_committed(
     latest_run_only: bool = False,
     statuses: tuple[str, ...] = ("committed",),
 ) -> DataFrame:
-    """The consistent view: data ∩ manifest (uncommitted partition
-    directories are invisible, exactly like an Iceberg snapshot).
+    """THE consistent read: data ∩ manifest, exactly like reading an
+    Iceberg snapshot. This is the one public entry point for reading a
+    materialized table; :func:`read_table` is the raw internal helper.
+
+    * Batch-written partitions are visible iff their manifest row with
+      a status in ``statuses`` exists (part-level is exact there:
+      dynamic overwrite rewrites whole partitions).
+    * ``statuses=("committed", "streamed")`` additionally shows
+      streaming appends at ROW level: only rows whose attempt tag a
+      ``BATCH_MARKER`` names — never crashed-attempt orphans, never
+      replay duplicates — matching :func:`read_streamed_consistent`'s
+      exactly-once guarantee (a part-level view of streamed files
+      would expose both).
+    * On a root the manifest shows streaming has touched, even the
+      default batch-only read filters out tagged rows, so streamed
+      files appended into already-committed parts can never leak into
+      a batch read. (The one undetectable window: the very first
+      streaming attempt ever crashing pre-manifest leaves tagged files
+      with zero manifest evidence; its replay lands evidence and
+      closes the window.)
+
     Pass ``latest_run_only=True`` for whole-corpus tables — see
-    :func:`committed_parts`. Pass ``statuses=("committed",
-    "streamed")`` to additionally see streaming appends."""
-    data = read_table(spark, root, table_name)
-    parts = committed_parts(spark, root, table_name, latest_run_only, statuses)
-    return data.join(F.broadcast(parts), "part_id", "inner")
+    :func:`committed_parts`."""
+    rows = _manifest_rows(spark, root, table_name)
+    batch_statuses = [s for s in statuses if s != "streamed"]
+    brows = [r for r in rows if r["status"] in batch_statuses]
+    if latest_run_only:
+        latest = max(brows, key=lambda r: r["committed_at"], default=None)
+        brows = (
+            [r for r in brows if r["run_id"] == latest["run_id"]]
+            if latest is not None
+            else []
+        )
+    parts = spark.createDataFrame(
+        [(int(p),) for p in sorted({r["part_id"] for r in brows})],
+        "part_id int",
+    )
+    markers = sorted(
+        {r["run_id"] for r in rows if r["status"] == BATCH_MARKER}
+    )
+    want_streamed = "streamed" in statuses
+    stream_evidence = bool(markers) or any(
+        r["status"] == "streamed" for r in rows
+    )
+    if not (want_streamed or stream_evidence):
+        # pure-batch root: plain read, no schema merge, no tag filter
+        data = read_table(spark, root, table_name)
+        return data.join(F.broadcast(parts), "part_id", "inner")
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, table_name))
+    )
+    if "_batch_run" not in data.columns:
+        data = data.withColumn("_batch_run", F.lit(None).cast("string"))
+    batch_rows = data.where(F.col("_batch_run").isNull()).join(
+        F.broadcast(parts), "part_id", "inner"
+    )
+    if want_streamed and markers:
+        stream_rows = data.where(F.col("_batch_run").isin(markers))
+        return batch_rows.unionByName(stream_rows).drop("_batch_run")
+    return batch_rows.drop("_batch_run")

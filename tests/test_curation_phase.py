@@ -87,3 +87,44 @@ def test_curation_sample_zero_writes_nothing(spark, kg_root):
     assert stats["n_curated"] == 0
     assert stats["n_chunks"] == 0
     assert stats["n_after_dedup"] > 0
+
+
+def test_n_in_falls_back_on_partial_pages_text_coverage(
+    spark, tmp_path_factory
+):
+    """Round-3 ADVICE (medium): on a legacy out_root where only SOME
+    parts carry pages_text commits, the manifest total is a silent
+    undercount — n_in must fall back to the corpus count, not report
+    the partial number."""
+    root = str(tmp_path_factory.mktemp("kg_legacy_nin"))
+    pages = generate_pages(
+        spark, 100, include_reference_eml=False, near_dup_fraction=0.2
+    )
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS,
+                 canonicalize=False)
+    true_n = sinks.read_table(spark, root, "pages_text").count()
+
+    # simulate the legacy manifest: drop pages_text commits for half
+    # the parts (the old code never wrote them; resume keeps them out)
+    m = spark.read.parquet(sinks.manifest_path(root)).filter(
+        ~(
+            (F.col("table_name") == "pages_text")
+            & (F.col("part_id") >= BUCKETS // 2)
+        )
+    )
+    kept = m.collect()
+    import shutil
+
+    shutil.rmtree(sinks.manifest_path(root))
+    spark.createDataFrame(kept, sinks.MANIFEST_SCHEMA).write.parquet(
+        sinks.manifest_path(root)
+    )
+    partial = sinks.committed_row_total(spark, root, "pages_text")
+    assert partial is not None and partial < true_n  # the trap exists
+
+    stats = pipeline.run_curation_phase(spark, root, "legacy",
+                                        buckets=BUCKETS)
+    assert stats["n_in"] == true_n, (
+        f"n_in={stats['n_in']} took the partial manifest total "
+        f"{partial} instead of the corpus count {true_n}"
+    )

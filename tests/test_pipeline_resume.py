@@ -201,3 +201,42 @@ def test_canonicalize_rerun_replaces_whole_corpus_tables(
         assert committed == on_disk
     canon_disk = sinks.read_table(spark, root, "triples_canonical").count()
     assert canon_disk == stats2["n_canonical_triples"]
+
+
+def test_legacy_manifest_upgrades_to_zero_job_short_circuit(
+    spark, pages, tmp_path_factory
+):
+    """Round-3 ADVICE (low): a legacy manifest — fully extracted but
+    written before BUCKETS_META existed — must be upgraded by the
+    first (no-op) resume run, so every LATER resume takes the
+    manifest-only short-circuit instead of paying the corpus-scan
+    anti-join forever."""
+    root = str(tmp_path_factory.mktemp("kg_legacy"))
+    pipeline.run(spark, pages, root, "run1", buckets=BUCKETS,
+                 canonicalize=False)
+    # strip the meta row — exactly what a pre-meta manifest looks like
+    m = spark.read.parquet(sinks.manifest_path(root)).filter(
+        F.col("status") != sinks.BUCKETS_META
+    )
+    kept = m.collect()
+    shutil.rmtree(sinks.manifest_path(root))
+    spark.createDataFrame(kept, sinks.MANIFEST_SCHEMA).write.parquet(
+        sinks.manifest_path(root)
+    )
+    assert not sinks.recorded_buckets(spark, root, "triples")
+
+    # first resume: full anti-join pass (proves the mapping), writes
+    # nothing new, and records the meta row
+    stats = pipeline.run(spark, pages, root, "run2", buckets=BUCKETS,
+                         canonicalize=False)
+    assert stats["parts_written"] == 0
+    assert sinks.recorded_buckets(spark, root, "triples") == {BUCKETS}
+
+    # second resume: manifest-only short-circuit, zero corpus jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    stats = pipeline.run(spark, pages, root, "run3", buckets=BUCKETS,
+                         canonicalize=False)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert stats["parts_written"] == 0
+    assert len(after - before) <= 3, "legacy root never upgraded"

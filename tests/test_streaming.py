@@ -244,3 +244,183 @@ def test_stream_restart_is_noop(spark, corpus_path, tmp_path_factory):
     _run_stream(spark, corpus_path, out_root, ckpt)
     after = spark.read.parquet(os.path.join(out_root, "triples")).count()
     assert after == before
+
+
+def test_batch_overwrite_guard_refuses_uncovered_streamed_pages(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-3 ADVICE (high), destructive half: a batch run's dynamic
+    overwrite rewrites whole parts, streamed appends included. If the
+    batch input does not cover the streamed pages in a part it
+    rewrites, their content would be destroyed with no replacement —
+    the run must refuse."""
+    out_root = str(tmp_path_factory.mktemp("guard_loss"))
+    ckpt = str(tmp_path_factory.mktemp("guard_loss_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    pages = spark.read.parquet(corpus_path)
+    # salt decorrelates the subset from part_id = pmod(xxhash64(url), B)
+    # — an unsalted xxhash64(url) % 2 selects exactly the even parts,
+    # which the guard CORRECTLY treats as safe (no rewritten part holds
+    # an uncovered page)
+    subset = pages.where(
+        F.xxhash64(F.concat_ws("#", F.col("url"), F.lit("salt"))) % 2 == 0
+    )
+    assert 0 < subset.count() < pages.count()
+    with pytest.raises(ValueError, match="streamed pages"):
+        pipeline.run_extract_phase(
+            spark, subset, out_root, "b_partial", buckets=BUCKETS
+        )
+    # a covering input still passes (the existing interleave test's
+    # same-corpus case, re-asserted against the new guard)
+    pipeline.run(spark, pages, out_root, "b_full", buckets=BUCKETS,
+                 canonicalize=False)
+
+
+def test_batch_accounting_excludes_streamed_only_parts(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-3 ADVICE (high), accounting half: streamed rows sitting in
+    parts a batch run did NOT rewrite must not be counted into batch
+    commits — or a later batch over those pages would be anti-joined
+    away and silently skipped."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    buckets = 32
+    out_root = str(tmp_path_factory.mktemp("acct"))
+    pages = spark.read.parquet(corpus_path)
+    streamed_batch = pages.limit(5)
+    process_micro_batch(streamed_batch, 0, out_root, "s", buckets=buckets)
+    streamed_parts = {
+        r["part_id"]
+        for r in pipeline.with_part_id(streamed_batch, buckets)
+        .select("part_id").distinct().collect()
+    }
+
+    # batch over the pages whose parts are DISJOINT from the streamed
+    # parts: no rewrite touches a streamed part, so the guard passes —
+    # and none of the streamed parts may end up batch-committed
+    disjoint = pipeline.with_part_id(pages, buckets).where(
+        ~F.col("part_id").isin(sorted(streamed_parts))
+    )
+    assert disjoint.count() > 0
+    pipeline.run_extract_phase(
+        spark, disjoint, out_root, "b1", buckets=buckets
+    )
+    committed = {
+        r["part_id"]
+        for r in sinks.committed_parts(spark, out_root, "triples").collect()
+    }
+    assert not (committed & streamed_parts), (
+        "streamed-only parts were batch-committed — a later batch "
+        "resume would skip their unprocessed pages"
+    )
+
+    # the later batch over the full corpus still processes the
+    # streamed parts' pages (they were never falsely committed)
+    pipeline.run_extract_phase(spark, pages, out_root, "b2", buckets=buckets)
+    pure = str(tmp_path_factory.mktemp("acct_pure"))
+    pipeline.run_extract_phase(spark, pages, pure, "p1", buckets=buckets)
+    got = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, out_root, "triples")
+        .select("det_id").collect()
+    )
+    want = sorted(
+        r["det_id"]
+        for r in sinks.read_committed(spark, pure, "triples")
+        .select("det_id").collect()
+    )
+    assert got == want and got
+
+
+def test_read_committed_never_leaks_streamed_rows_into_batch_view(
+    spark, corpus_path, tmp_path_factory
+):
+    """VERDICT r3 item 6: streaming can append into parts that are
+    already batch-committed; the public read API must keep the batch
+    view free of those rows (and of crashed-attempt orphans) on a
+    mixed root."""
+    import os as _os
+
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("mixed_view"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, out_root, "b1", buckets=BUCKETS,
+                 canonicalize=False)
+    batch_n = sinks.read_committed(spark, out_root, "triples").count()
+    assert batch_n > 0
+
+    # streamed append into the committed parts + a crashed attempt
+    process_micro_batch(pages.limit(10), 0, out_root, "s", buckets=BUCKETS)
+    orphans = (
+        pipeline.pages_to_triples(pipeline.with_part_id(pages.limit(7), BUCKETS))
+        .withColumn("_batch_run", F.lit("s-b9-feedfacecafe"))
+    )
+    orphans.write.partitionBy("part_id").mode("append").parquet(
+        _os.path.join(out_root, "triples")
+    )
+
+    # default batch view: unchanged — no streamed rows, no orphans
+    assert sinks.read_committed(spark, out_root, "triples").count() == batch_n
+    # opt-in streamed view: batch + exactly the marker-named attempt
+    streamed_n = (
+        pipeline.pages_to_triples(pipeline.with_part_id(pages.limit(10), BUCKETS))
+        .count()
+    )
+    assert (
+        sinks.read_committed(
+            spark, out_root, "triples", statuses=("committed", "streamed")
+        ).count()
+        == batch_n + streamed_n
+    )
+
+
+def test_vacuum_streamed_deletes_orphan_files_only(
+    spark, corpus_path, tmp_path_factory
+):
+    """VERDICT r3 item 4: the expire-snapshots half — vacuum deletes
+    files of attempts no marker names, leaves committed/streamed data
+    intact, keeps the consistent view identical, and replays still
+    no-op afterwards."""
+    import os as _os
+
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("vacuum"))
+    batch = spark.read.parquet(corpus_path).limit(20)
+    process_micro_batch(batch, 0, out_root, "v", buckets=BUCKETS)
+    good = sinks.read_streamed_consistent(spark, out_root, "triples").count()
+    assert good > 0
+
+    orphans = (
+        pipeline.pages_to_triples(pipeline.with_part_id(batch, BUCKETS))
+        .withColumn("_batch_run", F.lit("v-b1-deadbeefcafe"))
+    )
+    orphans.write.partitionBy("part_id").mode("append").parquet(
+        _os.path.join(out_root, "triples")
+    )
+    n_orphans = orphans.count()
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(out_root, "triples")
+    )
+    assert raw.count() == good + n_orphans
+
+    n_deleted = sinks.vacuum_streamed(spark, out_root, "triples")
+    assert n_deleted > 0
+    raw_after = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(out_root, "triples")
+    )
+    assert raw_after.count() == good  # orphan files gone, data intact
+    assert (
+        sinks.read_streamed_consistent(spark, out_root, "triples").count()
+        == good
+    )
+    # second vacuum is a no-op; replay of the completed batch still skips
+    assert sinks.vacuum_streamed(spark, out_root, "triples") == 0
+    process_micro_batch(batch, 0, out_root, "v", buckets=BUCKETS)
+    assert (
+        sinks.read_streamed_consistent(spark, out_root, "triples").count()
+        == good
+    )
