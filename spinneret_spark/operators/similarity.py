@@ -141,6 +141,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_fold: bool = True,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means → (cell_id, cell_vec) centroids.
 
@@ -161,10 +162,32 @@ def kmeans_fit(
     non-degenerate data; asserted in tests). Iteration count is fixed
     (no convergence probe → no extra driver actions). Cells that lose
     all members drop out on both engines alike.
+
+    ``fit_fraction < 1`` trains on a deterministic md5-gated sample
+    (same keyed-hash gate as ``curation.deterministic_sample`` — a
+    pure function of the id, reproducible across runs and engines,
+    pushed down to the scan as one filter). This is the 100 TB path:
+    Lloyd's iterates over the SAMPLE only, so each iteration's
+    broadcast-assign + mean shuffles fraction·N rows instead of N,
+    while :func:`assign_cells`/:func:`ivf_topk` still assign the FULL
+    corpus to the resulting centroids. Standard IVF practice — coarse
+    quantizers are fit on a sliver of the corpus; centroid quality
+    degrades only marginally (recall floor asserted in tests). The
+    oracle path keeps the default full fit (bit-exactness needs both
+    engines to fold the same rows).
     """
+    fit_rows = embeddings
+    if fit_fraction < 1.0:
+        from spinneret_spark.operators.curation import sample_gate
+
+        fit_rows = embeddings.where(
+            sample_gate(F.col(id_col).cast("string"), fit_fraction)
+        )
+    # global window is safe here: it ranks the k rows surviving
+    # .limit(k), never the corpus — not a single-reducer hazard
     w_init = Window.orderBy(id_col)
     cents = (
-        embeddings.orderBy(id_col)
+        fit_rows.orderBy(id_col)
         .limit(k)
         .select(F.row_number().over(w_init).alias("rn"), F.col(vec_col))
         .select(
@@ -175,8 +198,8 @@ def kmeans_fit(
         )
     )
     for _ in range(iters):
-        assigned = assign_cells(embeddings, cents, id_col, vec_col).join(
-            embeddings, id_col
+        assigned = assign_cells(fit_rows, cents, id_col, vec_col).join(
+            fit_rows, id_col
         )
         ex = assigned.select(
             "cell_id",

@@ -812,13 +812,35 @@ def run_media_phase(
     # one kernel run feeds both tables (the decode is the expensive
     # pass; everything after reads the materialized rows)
 
-    sinks.write_partitioned(
-        flagged.drop("_keep"), out_root, "media_meta", full_overwrite=True
-    )
+    # both writes read the checkpointed blocks and go to DIFFERENT
+    # paths, so they run as CONCURRENT jobs from two driver threads:
+    # each parquet write ends in a driver-serial commit (file moves,
+    # _SUCCESS) that the builder's Amdahl fit measured at ~7 s of the
+    # phase's serial fraction — overlapping the two jobs hides one
+    # commit behind the other's compute instead of paying them
+    # back-to-back (VERDICT r3 item 5)
+    from concurrent.futures import ThreadPoolExecutor
+
     curated = flagged.where("_keep").drop("_keep")
-    sinks.write_partitioned(
-        curated, out_root, "media_curated", full_overwrite=True
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        jobs = [
+            pool.submit(
+                sinks.write_partitioned,
+                flagged.drop("_keep"),
+                out_root,
+                "media_meta",
+                full_overwrite=True,
+            ),
+            pool.submit(
+                sinks.write_partitioned,
+                curated,
+                out_root,
+                "media_curated",
+                full_overwrite=True,
+            ),
+        ]
+        for j in jobs:
+            j.result()  # re-raise either write's failure
 
     # commit accounting AND funnel in ONE tagged-union job over the
     # written tables + ONE manifest write. Driver-job fixed costs are

@@ -220,3 +220,61 @@ def test_generate_media_deterministic(spark):
     b = b.sort_values("media_id").reset_index(drop=True)
     assert (a["media_id"] == b["media_id"]).all()
     assert all(bytes(x) == bytes(y) for x, y in zip(a["blob"], b["blob"]))
+
+
+def test_media_phase_crash_rerun_converges(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r3 item 7: a media run killed between its table writes
+    and its manifest append leaves uncommitted (invisible) data; a
+    plain rerun must converge to exactly the clean-run state — static
+    overwrite replaces the partial tables wholesale, and the manifest
+    totals match disk."""
+    from spinneret_spark import pipeline
+    from spinneret_spark.sinks import tables as sinks
+    from spinneret_spark.sources.mediagen import generate_media
+
+    media = generate_media(spark, 200, num_partitions=4).cache()
+    media.count()
+
+    clean_root = str(tmp_path_factory.mktemp("media_clean"))
+    want = pipeline.run_media_phase(spark, media, clean_root, "c1", buckets=4)
+
+    crash_root = str(tmp_path_factory.mktemp("media_crash"))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(sinks, "append_manifest_multi", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipeline.run_media_phase(spark, media, crash_root, "c2", buckets=4)
+    monkeypatch.undo()
+
+    # data landed but nothing is committed — the consistent view is empty
+    assert not sinks.read_committed(spark, crash_root, "media_curated").head(1)
+
+    # make the partial state worse: drop half the written part dirs
+    # (kill-after-k-parts shape)
+    import os
+    import shutil as _shutil
+
+    for tbl in ("media_meta", "media_curated"):
+        parts = pipeline._partition_ids(crash_root, tbl)
+        for p in parts[: len(parts) // 2]:
+            _shutil.rmtree(os.path.join(crash_root, tbl, f"part_id={p}"))
+
+    got = pipeline.run_media_phase(spark, media, crash_root, "c3", buckets=4)
+    assert (got["n_in"], got["n_decoded"], got["n_kept"]) == (
+        want["n_in"], want["n_decoded"], want["n_kept"],
+    )
+    for tbl in ("media_meta", "media_curated"):
+        a = sorted(
+            r["media_id"]
+            for r in sinks.read_committed(spark, crash_root, tbl)
+            .select("media_id").collect()
+        )
+        b = sorted(
+            r["media_id"]
+            for r in sinks.read_committed(spark, clean_root, tbl)
+            .select("media_id").collect()
+        )
+        assert a == b and a, f"{tbl} diverged after crash+rerun"
+    media.unpersist()

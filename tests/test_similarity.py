@@ -211,3 +211,42 @@ def test_ivf_recall_monotone_in_nprobe(spark, emb):
         for r in ivf_topk(emb, queries, cents, k=5, nprobe=K).collect()
     }
     assert full_probe == exact_rows
+
+
+def test_kmeans_sampled_fit_keeps_ivf_recall(spark, emb):
+    """VERDICT r3 item 3: the 100 TB path fits the coarse quantizer on
+    a deterministic sample, never iterating Lloyd's over the full
+    corpus. Centroids from a 20% fit must still give IVF recall@5 at
+    the established floor, produce k cells, and provably train on
+    fewer rows."""
+    from spinneret_spark.operators.curation import sample_gate
+
+    frac = 0.2
+    sampled_n = emb.where(
+        sample_gate(F.col("vec_id").cast("string"), frac)
+    ).count()
+    assert K <= sampled_n < emb.count()  # the fit input really shrank
+
+    cents = kmeans_fit(emb, K, ITERS, fit_fraction=frac)
+    assert cents.count() == K
+
+    queries = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor (sampled fit)"
+
+    # determinism: the sampled fit is a pure function of the data
+    again = kmeans_fit(emb, K, ITERS, fit_fraction=frac)
+    a = sorted((r["cell_id"], list(r["cell_vec"])) for r in cents.collect())
+    b = sorted((r["cell_id"], list(r["cell_vec"])) for r in again.collect())
+    assert a == b
