@@ -55,6 +55,14 @@ def main() -> None:
     ap.add_argument("--min-width", type=int, default=64)
     ap.add_argument("--min-height", type=int, default=64)
     ap.add_argument("--max-duration-ms", type=int, default=60_000)
+    ap.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="after the run, delete parquet files left by crashed "
+        "streaming attempts on the triples table (they are already "
+        "invisible to consistent reads; this reclaims the bytes — "
+        "the expire-snapshots half of the Iceberg emulation)",
+    )
     args = ap.parse_args()
 
     from spinneret_spark import pipeline
@@ -96,6 +104,12 @@ def main() -> None:
             min_width=args.min_width,
             min_height=args.min_height,
             max_duration_ms=args.max_duration_ms,
+        )
+    if args.vacuum:
+        from spinneret_spark.sinks import tables as sinks
+
+        stats["vacuumed_files"] = sinks.vacuum_streamed(
+            spark, args.out, "triples"
         )
     print(json.dumps(stats))
     spark.stop()
