@@ -789,6 +789,49 @@ SELECT q_id, vec_id, rank, cos FROM (
 """
 
 
+def q_link_rerank(spark, sf):
+    """North-rule "embedding-similarity rerank" of the entity-linking
+    stage (linking.rerank_candidates, reference workbook.py:52-61's
+    curator slots closed mechanically): 8 ambiguous mentions each get
+    a BLOCKED candidate set (same pmod bucket — the dictionary-side
+    blocking a trie link join emits), and one max_by aggregation keeps
+    the best candidate per mention by cosine, ties to the higher id.
+    Single hash aggregation, no window over the corpus."""
+    from spinneret_spark.operators.linking import rerank_candidates
+
+    emb = _t(spark, sf, "embeddings")
+    mentions = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("m_id"),
+        F.col("embedding").alias("mention_vec"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("subject_id"),
+        F.col("embedding").alias("cand_vec"),
+    )
+    pairs = mentions.join(
+        cands,
+        F.pmod(F.col("m_id"), F.lit(4)) == F.pmod(F.col("subject_id"), F.lit(4)),
+    ).where(F.col("m_id") != F.col("subject_id"))
+    return rerank_candidates(pairs, ["m_id"])
+
+
+Q_LINK_RERANK_SQL = f"""
+WITH m AS (SELECT vec_id AS m_id, embedding AS m_vec FROM embeddings
+           WHERE vec_id < 8),
+c AS (SELECT vec_id AS subject_id, embedding AS cand_vec FROM embeddings),
+scored AS (
+  SELECT m_id, subject_id, {cosine_sql("m_vec", "cand_vec")} AS score
+  FROM m JOIN c ON m_id % 4 = subject_id % 4 AND m_id <> subject_id
+)
+SELECT m_id, subject_id, score FROM (
+  SELECT m_id, subject_id, score,
+         row_number() OVER (PARTITION BY m_id
+                            ORDER BY score DESC, subject_id DESC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs — brute-force cross-join
     BASELINE, fixture scales only; the scale path is
@@ -1200,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_multiprobe": q_dedup_embedding_multiprobe,
         "ann_topk_cosine": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "kg_link_rerank": q_link_rerank,
         "cc_components": q_cc_components,
         "q_rollup_event_stats": q_rollup_event_stats,
         "q_intersect_customers": q_intersect_customers,
@@ -1241,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_multiprobe": Q_DEDUP_EMBEDDING_MULTIPROBE_SQL,
         "ann_topk_cosine": Q_ANN_TOPK_SQL,
         "ann_ivf": Q_ANN_IVF_SQL,
+        "kg_link_rerank": Q_LINK_RERANK_SQL,
         "cc_components": Q_CC_SQL,
         "q_rollup_event_stats": Q_ROLLUP_SQL,
         "q_intersect_customers": Q_INTERSECT_SQL,

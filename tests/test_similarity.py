@@ -250,3 +250,37 @@ def test_kmeans_sampled_fit_keeps_ivf_recall(spark, emb):
     a = sorted((r["cell_id"], list(r["cell_vec"])) for r in cents.collect())
     b = sorted((r["cell_id"], list(r["cell_vec"])) for r in again.collect())
     assert a == b
+
+
+def test_rerank_candidates_max_by_and_tiebreak(spark):
+    """linking.rerank_candidates: one hash aggregation (no Window over
+    the candidate set), best candidate per mention by cosine, exact
+    score ties broken to the higher subject_id — deterministic."""
+    import re
+
+    from spinneret_spark.operators.linking import rerank_candidates
+
+    rows = [
+        # mention 1: candidate 20 clearly best
+        (1, [1.0, 0.0], 10, [0.0, 1.0]),
+        (1, [1.0, 0.0], 20, [1.0, 0.0]),
+        # mention 2: candidates 30 and 40 tie EXACTLY (same vector);
+        # the higher id must win
+        (2, [0.5, 0.5], 30, [1.0, 1.0]),
+        (2, [0.5, 0.5], 40, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "m_id int, mention_vec array<double>, subject_id int, "
+        "cand_vec array<double>",
+    )
+    got = {
+        r["m_id"]: r["subject_id"]
+        for r in rerank_candidates(df, ["m_id"]).collect()
+    }
+    assert got == {1: 20, 2: 40}
+    plan = (
+        rerank_candidates(df, ["m_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.findall(r"\bWindow \[", plan)
