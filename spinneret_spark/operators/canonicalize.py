@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spinneret_spark.materialize import materialize as _materialize
 from spinneret_spark.functions.hashing import det_id as _det_id
 from spinneret_spark.operators.components import components_with_isolated
 from spinneret_spark.operators.dedup import (
@@ -61,7 +62,7 @@ def near_dup_edges(
     # materialize eagerly once or the minhash lineage recomputes three
     # times (lazy .cache() alone races its own first fill when all
     # three consumers sit in one query)
-    candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket).localCheckpoint()
+    candidates = _materialize(lsh_candidate_pairs(sigs, max_bucket=max_bucket))
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -84,7 +85,8 @@ def near_dup_edges(
     # verify query (measured 2x the prep cost at 400k pages)
     sh_arrays = shingle_hash_arrays_pandas(
         docs_small, n=shingle_n, id_col=id_col, text_col=text_col
-    ).localCheckpoint()
+)
+    sh_arrays = _materialize(sh_arrays)
     a = sh_arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spinneret_spark.materialize import materialize as _materialize
 from spinneret_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_K,
@@ -82,9 +83,11 @@ def ngram_jaccard_pairs(
     the shingle build — the most expensive expression in the plan —
     3-4×. Measured at sf0.1: 2.9s → 1.9s warm, 6.4s → 2.5s cold. The
     stored relation is (id, long) rows — far smaller than the text it
-    derives from; at cluster scale swap the localCheckpoint for
-    ``persist(MEMORY_AND_DISK)`` if lineage-based recovery on executor
-    loss matters more than driver-free cleanup.
+    derives from. The pin strategy comes from the
+    ``SPINNERET_MATERIALIZE`` knob (spinneret_spark/materialize.py):
+    ``local`` = localCheckpoint (single box), ``persist`` =
+    MEMORY_AND_DISK + eager fill (keeps lineage for executor-loss
+    recovery on a real cluster).
 
     ``hash_mode`` replaces the shingle STRING with an 8-byte hash
     before the exchange — the join/groupBy keys shrink from ~30-byte
@@ -112,7 +115,7 @@ def ngram_jaccard_pairs(
     elif hash_mode != "none":
         raise ValueError(f"hash_mode {hash_mode!r} not in md5|xxhash|none")
     if materialize:
-        sh = sh.localCheckpoint()
+        sh = _materialize(sh)
     if max_bucket is not None:
         hot = (
             sh.groupBy("shingle")
@@ -338,7 +341,7 @@ def lsh_candidate_pairs(
     cold, warm within noise (exchange reuse covers part of it).
     """
     if materialize:
-        signatures = signatures.localCheckpoint()
+        signatures = _materialize(signatures)
     band_cols = []
     for bnd in range(bands):
         cols = [

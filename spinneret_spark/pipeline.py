@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from spinneret_spark.extract.htmltext import extract_text
 from spinneret_spark.functions.hashing import det_id
+from spinneret_spark.materialize import materialize
 from spinneret_spark.operators.canonicalize import (
     canonical_entities,
     entity_table,
@@ -483,12 +484,12 @@ def run_canonicalize_phase(
     # eager one-shot materialization (a lazy .cache() recomputes the
     # whole LSH/verify lineage per consumer until its first fill, and
     # can race its own fill across concurrent consumers)
-    edges = near_dup_edges(
-        docs, jaccard_threshold, id_col="doc_id"
-    ).localCheckpoint()
-    assignment = canonical_entities(
-        docs, edges, id_col="doc_id"
-    ).localCheckpoint()
+    edges = materialize(
+        near_dup_edges(docs, jaccard_threshold, id_col="doc_id")
+    )
+    assignment = materialize(
+        canonical_entities(docs, edges, id_col="doc_id")
+    )
 
     # a corpus where NO page yields a mention has no triples table on
     # disk (same no-files-no-schema hazard); entities/edges still exist
@@ -808,7 +809,7 @@ def run_media_phase(
             (F.col("width") >= min_width) & (F.col("height") >= min_height),
         ).otherwise(F.col("duration_ms") <= max_duration_ms)
     )
-    flagged = meta.withColumn("_keep", keep).localCheckpoint()
+    flagged = materialize(meta.withColumn("_keep", keep))
     # one kernel run feeds both tables (the decode is the expensive
     # pass; everything after reads the materialized rows)
 
