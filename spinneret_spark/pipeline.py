@@ -330,15 +330,35 @@ def run_extract_phase(
     # streamed root: the marker check is one manifest read. A streamed
     # page with zero mentions left no durable record at all, so only
     # pages with streamed rows are checkable — documented limit.)
+    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
     markers = sinks.stream_marker_runs(spark, out_root, "triples")
-    if markers and _partition_ids(out_root, "triples"):
-        streamed_pages = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(os.path.join(out_root, "triples"))
-            .where(F.col("_batch_run").isin(sorted(markers)))
-            .select("part_id", F.col("subj").alias("url"))
-            .distinct()
-        )
+    has_streamed_pt = bool(pt_markers) and bool(
+        _partition_ids(out_root, "pages_text")
+    )
+    # gate on whichever streamed table exists: a zero-mention stream
+    # writes pages_text but never creates a triples partition dir
+    if has_streamed_pt or (markers and _partition_ids(out_root, "triples")):
+        if has_streamed_pt:
+            # streamed pages_text is the COMPLETE record (round-4
+            # streaming writes it): every streamed page appears,
+            # including zero-mention pages that leave no triples row
+            streamed_pages = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(out_root, "pages_text"))
+                .where(F.col("_batch_run").isin(sorted(pt_markers)))
+                .select("part_id", "url")
+                .distinct()
+            )
+        else:
+            # legacy streamed root (triples only): pages with streamed
+            # rows are the only checkable record
+            streamed_pages = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(out_root, "triples"))
+                .where(F.col("_batch_run").isin(sorted(markers)))
+                .select("part_id", F.col("subj").alias("url"))
+                .distinct()
+            )
         batch_urls = todo.select("part_id", "url")
         # a streamed page is at risk iff (a) the batch input misses it
         # AND (b) the batch rewrites its part (= input has rows there)
@@ -367,9 +387,14 @@ def run_extract_phase(
     # once per page, ever
     enriched = _fused_extract_detect_full(todo, terms or DEFAULT_TERMS)
     sinks.write_partitioned(enriched, out_root, "pages_text", shuffle=False)
-    text_tbl = sinks.read_table(spark, out_root, "pages_text").join(
-        F.broadcast(done), "part_id", "left_anti"
-    )
+    # BATCH rows only: on a root streaming has appended to, the raw
+    # pages_text read would pull streamed rows from parts this run
+    # never rewrote into THIS batch's triples derivation (duplicating
+    # them into an overwrite) — the tag filter keeps the derivation
+    # scoped to what this phase's writes actually own
+    text_tbl = sinks.read_table_batch_rows(
+        spark, out_root, "pages_text", enriched.schema
+    ).join(F.broadcast(done), "part_id", "left_anti")
     mentions = text_tbl.select(
         "part_id", "url", "lang", F.explode("norms").alias("norm")
     )
@@ -476,7 +501,10 @@ def run_canonicalize_phase(
         # data files and no readable schema — exit before touching it
         empty_stats["seconds"] = time.time() - t0
         return empty_stats
-    docs = sinks.read_table(spark, out_root, "pages_text").select(
+    # read_durable: all batch-written rows + marker-valid streamed
+    # rows — streamed pages canonicalize like any other page, while
+    # crashed-attempt orphans and replay duplicates stay invisible
+    docs = sinks.read_durable(spark, out_root, "pages_text").select(
         F.col("url").alias("doc_id"), "text"
     )
     # edges and assignment feed multiple downstream actions (CC loop,
@@ -495,7 +523,9 @@ def run_canonicalize_phase(
     # disk (same no-files-no-schema hazard); entities/edges still exist
     canon = None
     if _partition_ids(out_root, "triples"):
-        triples = sinks.read_committed(spark, out_root, "triples")
+        triples = sinks.read_committed(
+            spark, out_root, "triples", statuses=("committed", "streamed")
+        )
         canon = rewrite_triples(
             triples,
             assignment.select(F.col("doc_id"), F.col("canonical_id")),
@@ -670,7 +700,9 @@ def run_curation_phase(
     if not _partition_ids(out_root, "pages_text"):
         empty["seconds"] = time.time() - t0
         return empty
-    docs = sinks.read_table(spark, out_root, "pages_text").select(
+    # same durable view as canonicalize: streamed pages are curated
+    # alongside batch pages; orphans/replays stay invisible
+    docs = sinks.read_durable(spark, out_root, "pages_text").select(
         "part_id", "url", "lang", "text"
     )
     # NO checkpoint here: the funnel aggregate and the pack/write job
@@ -695,7 +727,9 @@ def run_curation_phase(
     # (round-3 ADVICE, medium): parts extracted by the old code have
     # triples commits but no pages_text rows, so a non-None total that
     # doesn't cover every triples part is an undercount, not an answer
-    n_in = sinks.committed_row_total(spark, out_root, "pages_text")
+    n_in = sinks.committed_row_total(
+        spark, out_root, "pages_text", include_streamed=True
+    )
     if n_in is not None:
         cov = sinks.committed_part_map(
             spark, out_root, ["pages_text", "triples"]

@@ -259,7 +259,10 @@ def resume_state(
 
 
 def committed_row_total(
-    spark: SparkSession, root: str, table_name: str
+    spark: SparkSession,
+    root: str,
+    table_name: str,
+    include_streamed: bool = False,
 ) -> int | None:
     """Total committed rows of a table straight from the manifest —
     None if the table has no committed rows. Latest commit per part
@@ -267,23 +270,36 @@ def committed_row_total(
     count). This is the O(manifest) substitute for a full-corpus
     ``count()`` job: at web scale, re-scanning 10^12 pages to learn a
     number the commit protocol already wrote down is a whole extra
-    job bought for nothing."""
+    job bought for nothing.
+
+    ``include_streamed`` adds the exactly-once streamed rows: each
+    ``BATCH_MARKER`` row's rows_out records its batch's total, every
+    completed batch has exactly one marker (replays no-op), and
+    crashed attempts have none — so summing markers IS the orphan-free
+    streamed count, still one manifest read."""
     path = manifest_path(root)
     try:
         m = spark.read.parquet(path)
     except Exception:
         return None
+    t = m.filter(F.col("table_name") == table_name)
     agg = (
-        m.filter(
-            (F.col("table_name") == table_name)
-            & (F.col("status") == "committed")
-        )
+        t.filter(F.col("status") == "committed")
         .groupBy("part_id")
         .agg(F.max_by("rows_out", "committed_at").alias("n"))
         .agg(F.sum("n").alias("total"))
         .first()
     )
-    return None if agg is None or agg["total"] is None else int(agg["total"])
+    total = None if agg is None or agg["total"] is None else int(agg["total"])
+    if include_streamed:
+        s = (
+            t.filter(F.col("status") == BATCH_MARKER)
+            .agg(F.sum("rows_out").alias("total"))
+            .first()
+        )
+        if s is not None and s["total"] is not None:
+            total = (total or 0) + int(s["total"])
+    return total
 
 
 def stream_marker_runs(
@@ -453,6 +469,33 @@ def vacuum_streamed(
         p = urlparse(f)
         os.remove(unquote(p.path) if p.scheme in ("file", "") else f)
     return len(files)
+
+
+def read_durable(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+    """Every durable row of a table: all BATCH-written rows (manifest
+    commit or not — dynamic overwrite makes each batch partition a
+    self-consistent whole, and the whole-corpus phases deliberately
+    consume uncommitted-but-complete parts) plus the exactly-once
+    streamed rows (marker-valid attempts only — crashed-attempt
+    orphans and replay duplicates stay invisible).
+
+    This is the input view for whole-corpus recompute phases
+    (canonicalize, curation): broader than :func:`read_committed`
+    (which hides uncommitted batch parts) but still orphan-free. On a
+    never-streamed root it is a plain parquet read — no schema merge,
+    no filter."""
+    markers = sorted(stream_marker_runs(spark, root, table_name))
+    if not markers:
+        return read_table(spark, root, table_name)
+    data = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, table_name))
+    )
+    if "_batch_run" not in data.columns:
+        return data
+    return data.where(
+        F.col("_batch_run").isNull() | F.col("_batch_run").isin(markers)
+    ).drop("_batch_run")
 
 
 def _manifest_rows(spark: SparkSession, root: str, table_name: str) -> list:

@@ -65,19 +65,32 @@ def process_micro_batch(
     out_root: str,
     run_id: str,
     buckets: int = pipeline.DEFAULT_BUCKETS,
+    terms: list[str] | None = None,
 ) -> None:
-    """One micro-batch: pages → triples APPEND + manifest commit.
+    """One micro-batch: pages → pages_text + triples APPEND + manifest.
 
     Module-level (not a closure) so the replay contract is directly
     testable: calling it twice with the same ``batch_id`` must leave
     the sink unchanged the second time.
+
+    BOTH durable tables land per batch (round-4): the extracted text
+    appends to ``pages_text`` exactly like the batch phase writes it,
+    so streamed pages are first-class downstream — canonicalization
+    and curation see them through
+    ``read_committed(..., statuses=("committed", "streamed"))``, the
+    batch interleave guard can account for zero-mention pages, and a
+    later batch run never needs to re-extract what streaming already
+    extracted. Same one-Python-crossing shape as the batch phase: the
+    fused kernel runs once, triples derive by a pure-JVM explode.
     """
     session = batch_df.sparkSession
     batch_run = f"{run_id}-b{batch_id}"
     # replay skip: the checkpoint re-delivers a batch whose marker
     # already landed → appending again would duplicate its rows.
     # Markers are attempt-unique ("{batch_run}-{uuid}"), so the check
-    # is a prefix match; "-b1-" cannot collide with "-b11-".
+    # is a prefix match; "-b1-" cannot collide with "-b11-". The
+    # triples marker stands for the whole batch: both tables' manifest
+    # rows land in ONE append, so either all exist or none do.
     markers = sinks.stream_marker_runs(session, out_root, "triples")
     if any(m.startswith(batch_run + "-") for m in markers):
         return
@@ -92,8 +105,11 @@ def process_micro_batch(
             "differ, refusing to mix them"
         )
     attempt = f"{batch_run}-{uuid.uuid4().hex[:12]}"
-    triples = (
-        pipeline.pages_to_triples(pipeline.with_part_id(batch_df, buckets))
+    enriched = (
+        pipeline._fused_extract_detect_full(
+            pipeline.with_part_id(batch_df, buckets),
+            terms or pipeline.DEFAULT_TERMS,
+        )
         # attempt attribution: a constant per file (dictionary-encoded,
         # ~free) that lets the consistent reader exclude orphan rows
         # from an attempt that crashed before its marker landed
@@ -101,25 +117,51 @@ def process_micro_batch(
         .localCheckpoint()  # extract+detect kernel runs ONCE per batch
     )
     (
-        triples.write.partitionBy("part_id")
+        enriched.write.partitionBy("part_id")
         .mode("append")  # NEVER overwrite: batches share part_ids
+        .parquet(os.path.join(out_root, "pages_text"))
+    )
+    mentions = enriched.select(
+        "part_id", "url", "lang", F.explode("norms").alias("norm")
+    )
+    triples = pipeline._triples_projection(mentions).withColumn(
+        "_batch_run", F.lit(attempt)
+    )
+    (
+        triples.write.partitionBy("part_id")
+        .mode("append")
         .parquet(os.path.join(out_root, "triples"))
     )
-    # counts from the checkpointed blocks — no recompute
-    parts = [
-        (r["part_id"], r["n"])
-        for r in triples.groupBy("part_id")
-        .count()
-        .withColumnRenamed("count", "n")
+    # counts for BOTH tables from the checkpointed blocks in one job —
+    # pages per part + mentions (= triple rows) per part
+    counts = (
+        enriched.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.size("norms")).alias("n_triples"),
+        )
         .collect()
-    ]
+    )
     # ONE manifest write, all rows keyed by the attempt id (its
     # "{batch_run}-" prefix keeps per-batch lineage greppable):
-    # per-part "streamed" rows + the attempt-unique replay marker +
-    # (first batch only) the bucket-count record. The marker goes in
-    # even for an empty batch so its replay skips.
-    rows = [("triples", p, n, "streamed") for p, n in parts]
-    rows.append(("triples", -1, sum(n for _, n in parts), sinks.BATCH_MARKER))
+    # per-part "streamed" rows for both tables + one attempt-unique
+    # replay marker per table (rows_out on the marker = the batch's
+    # total, which lets committed_row_total(include_streamed=True)
+    # sum streamed rows straight from markers) + (first batch only)
+    # the bucket-count record. Markers go in even for an empty batch
+    # so its replay skips.
+    rows = [
+        ("pages_text", r["part_id"], r["n_pages"], "streamed")
+        for r in counts
+    ] + [
+        ("triples", r["part_id"], int(r["n_triples"] or 0), "streamed")
+        for r in counts
+        if (r["n_triples"] or 0) > 0
+    ]
+    n_pages_total = sum(r["n_pages"] for r in counts)
+    n_triples_total = sum(int(r["n_triples"] or 0) for r in counts)
+    rows.append(("pages_text", -1, n_pages_total, sinks.BATCH_MARKER))
+    rows.append(("triples", -1, n_triples_total, sinks.BATCH_MARKER))
     if not prior:
         rows.append(("triples", buckets, 0, sinks.BUCKETS_META))
     sinks.append_manifest_multi(session, out_root, attempt, rows)

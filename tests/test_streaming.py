@@ -49,7 +49,8 @@ def test_multi_batch_append_no_data_loss(spark, corpus_path, tmp_path_factory):
     _run_stream(spark, corpus_path, out_root, ckpt)
 
     manifest = spark.read.parquet(sinks.manifest_path(out_root)).filter(
-        F.col("status") == "streamed"  # drop replay markers / meta rows
+        (F.col("status") == "streamed")  # drop replay markers / meta rows
+        & (F.col("table_name") == "triples")  # pages_text commits too now
     )
     run_ids = {r["run_id"] for r in manifest.select("run_id").distinct().collect()}
     assert len(run_ids) >= 2, f"expected several micro-batches, got {run_ids}"
@@ -424,3 +425,93 @@ def test_vacuum_streamed_deletes_orphan_files_only(
         sinks.read_streamed_consistent(spark, out_root, "triples").count()
         == good
     )
+
+
+def test_streamed_pages_text_matches_batch_extraction(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round 4: micro-batches persist pages_text too. The streamed
+    table (consistent view) must be byte-identical per url to the
+    batch phase's extraction over the same corpus — the north rule's
+    per-row invariant, now held across delivery paths."""
+    out_root = str(tmp_path_factory.mktemp("stream_pt"))
+    ckpt = str(tmp_path_factory.mktemp("stream_pt_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    batch_root = str(tmp_path_factory.mktemp("batch_pt"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, batch_root, "b1", buckets=BUCKETS,
+                 canonicalize=False)
+
+    got = {
+        r["url"]: r["text"]
+        for r in sinks.read_streamed_consistent(spark, out_root, "pages_text")
+        .select("url", "text").collect()
+    }
+    want = {
+        r["url"]: r["text"]
+        for r in sinks.read_committed(spark, batch_root, "pages_text")
+        .select("url", "text").collect()
+    }
+    assert got == want and got
+
+
+def test_canonicalize_and_curation_see_streamed_pages(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round 4: a streamed-only root canonicalizes and curates exactly
+    like the equivalent batch root — streamed pages are first-class
+    downstream, not just rows in the triples table."""
+    out_root = str(tmp_path_factory.mktemp("stream_canon"))
+    ckpt = str(tmp_path_factory.mktemp("stream_canon_ckpt"))
+    _run_stream(spark, corpus_path, out_root, ckpt)
+
+    batch_root = str(tmp_path_factory.mktemp("batch_canon"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, batch_root, "b1", buckets=BUCKETS)
+
+    canon = pipeline.run_canonicalize_phase(spark, out_root, "s_canon",
+                                            buckets=BUCKETS)
+    want = pipeline.run_canonicalize_phase(spark, batch_root, "b_canon",
+                                           buckets=BUCKETS)
+    assert canon["n_entities"] == want["n_entities"] > 0
+    assert canon["n_edges"] == want["n_edges"]
+    assert canon["n_canonical_triples"] == want["n_canonical_triples"] > 0
+
+    cur = pipeline.run_curation_phase(spark, out_root, "s_cur",
+                                      buckets=BUCKETS)
+    want_cur = pipeline.run_curation_phase(spark, batch_root, "b_cur",
+                                           buckets=BUCKETS)
+    # n_in comes from markers on the streamed root (no count() job)
+    assert cur["n_in"] == want_cur["n_in"] == pages.count()
+    assert cur["n_curated"] == want_cur["n_curated"] > 0
+
+
+def test_overwrite_guard_catches_zero_mention_streamed_pages(
+    spark, tmp_path_factory
+):
+    """Round 4: with pages_text durable, the interleave guard sees
+    EVERY streamed page — including ones that matched no vocabulary
+    term and so left no triples row (the documented round-3 limit)."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    pages = generate_pages(spark, 40, include_reference_eml=False)
+    out_root = str(tmp_path_factory.mktemp("guard_zero"))
+    # stream with a vocabulary no page matches: pages_text rows land,
+    # triples table stays empty
+    process_micro_batch(
+        pages.limit(10), 0, out_root, "s", buckets=BUCKETS,
+        terms=["zzzz-not-in-any-page"],
+    )
+    assert (
+        sinks.read_streamed_consistent(spark, out_root, "pages_text").count()
+        == 10
+    )
+    # batch over a subset that misses streamed pages but rewrites
+    # their parts must refuse — even though no streamed TRIPLES exist
+    subset = pages.where(
+        F.xxhash64(F.concat_ws("#", F.col("url"), F.lit("salt"))) % 2 == 0
+    )
+    with pytest.raises(ValueError, match="streamed pages"):
+        pipeline.run_extract_phase(spark, subset, out_root, "b1",
+                                   buckets=BUCKETS)
