@@ -59,9 +59,10 @@ def main() -> None:
         "--vacuum",
         action="store_true",
         help="after the run, delete parquet files left by crashed "
-        "streaming attempts on the triples table (they are already "
-        "invisible to consistent reads; this reclaims the bytes — "
-        "the expire-snapshots half of the Iceberg emulation)",
+        "streaming attempts on the triples and pages_text tables "
+        "(they are already invisible to consistent reads; this "
+        "reclaims the bytes — the expire-snapshots half of the "
+        "Iceberg emulation)",
     )
     args = ap.parse_args()
 
@@ -108,8 +109,12 @@ def main() -> None:
     if args.vacuum:
         from spinneret_spark.sinks import tables as sinks
 
-        stats["vacuumed_files"] = sinks.vacuum_streamed(
-            spark, args.out, "triples"
+        # both streamed tables: pages_text is the fatter one (full
+        # extracted text + norms vs triple rows), so leaking only its
+        # orphans would defeat the point of the vacuum
+        stats["vacuumed_files"] = sum(
+            sinks.vacuum_streamed(spark, args.out, t)
+            for t in ("triples", "pages_text")
         )
     print(json.dumps(stats))
     spark.stop()

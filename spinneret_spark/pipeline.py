@@ -330,35 +330,35 @@ def run_extract_phase(
     # streamed root: the marker check is one manifest read. A streamed
     # page with zero mentions left no durable record at all, so only
     # pages with streamed rows are checkable — documented limit.)
-    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
-    markers = sinks.stream_marker_runs(spark, out_root, "triples")
-    has_streamed_pt = bool(pt_markers) and bool(
-        _partition_ids(out_root, "pages_text")
-    )
-    # gate on whichever streamed table exists: a zero-mention stream
-    # writes pages_text but never creates a triples partition dir
-    if has_streamed_pt or (markers and _partition_ids(out_root, "triples")):
-        if has_streamed_pt:
-            # streamed pages_text is the COMPLETE record (round-4
-            # streaming writes it): every streamed page appears,
-            # including zero-mention pages that leave no triples row
-            streamed_pages = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(os.path.join(out_root, "pages_text"))
-                .where(F.col("_batch_run").isin(sorted(pt_markers)))
-                .select("part_id", "url")
-                .distinct()
-            )
-        else:
-            # legacy streamed root (triples only): pages with streamed
-            # rows are the only checkable record
-            streamed_pages = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(os.path.join(out_root, "triples"))
-                .where(F.col("_batch_run").isin(sorted(markers)))
-                .select("part_id", F.col("subj").alias("url"))
-                .distinct()
-            )
+    mm = sinks.stream_marker_map(spark, out_root, ["pages_text", "triples"])
+    pt_markers, markers = mm["pages_text"], mm["triples"]
+
+    def _tagged_pages(tbl: str, marker_set: set[str], url_col: str):
+        """Marker-valid streamed (part_id, url) pairs — or None when
+        no tagged file survives: after a covering batch overwrite
+        deletes every streamed file, the append-only markers outlive
+        the tag COLUMN itself, and an unguarded column reference would
+        brick every future batch run (round-4 review)."""
+        if not (marker_set and _partition_ids(out_root, tbl)):
+            return None
+        data = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(out_root, tbl)
+        )
+        if "_batch_run" not in data.columns:
+            return None
+        return (
+            data.where(F.col("_batch_run").isin(sorted(marker_set)))
+            .select("part_id", F.col(url_col).alias("url"))
+            .distinct()
+        )
+
+    # prefer streamed pages_text — the COMPLETE record (round-4
+    # streaming writes it; zero-mention pages appear there but never
+    # create a triples partition dir); triples is the legacy fallback
+    streamed_pages = _tagged_pages("pages_text", pt_markers, "url")
+    if streamed_pages is None:
+        streamed_pages = _tagged_pages("triples", markers, "subj")
+    if streamed_pages is not None:
         batch_urls = todo.select("part_id", "url")
         # a streamed page is at risk iff (a) the batch input misses it
         # AND (b) the batch rewrites its part (= input has rows there)
@@ -504,9 +504,17 @@ def run_canonicalize_phase(
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while
     # crashed-attempt orphans and replay duplicates stay invisible
-    docs = sinks.read_durable(spark, out_root, "pages_text").select(
-        F.col("url").alias("doc_id"), "text"
-    )
+    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
+    docs = sinks.read_durable(
+        spark, out_root, "pages_text", markers=pt_markers
+    ).select(F.col("url").alias("doc_id"), "text")
+    if pt_markers:
+        # a url delivered by BOTH paths (batch commit + a later
+        # streamed re-crawl appended into an already-committed part)
+        # must canonicalize as ONE doc — deterministic first-seen by
+        # content. Only streamed roots pay this shuffle; pure-batch
+        # corpora keep the shuffle-free read.
+        docs = docs.groupBy("doc_id").agg(F.min("text").alias("text"))
     # edges and assignment feed multiple downstream actions (CC loop,
     # entity rollup, triple rewrite, writes) — localCheckpoint both:
     # eager one-shot materialization (a lazy .cache() recomputes the
@@ -701,10 +709,25 @@ def run_curation_phase(
         empty["seconds"] = time.time() - t0
         return empty
     # same durable view as canonicalize: streamed pages are curated
-    # alongside batch pages; orphans/replays stay invisible
-    docs = sinks.read_durable(spark, out_root, "pages_text").select(
-        "part_id", "url", "lang", "text"
-    )
+    # alongside batch pages; orphans/replays stay invisible. On a
+    # streamed root, a url delivered by both paths curates once —
+    # deterministic winner by (text, lang); pure-batch corpora skip
+    # the extra shuffle entirely.
+    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
+    docs = sinks.read_durable(
+        spark, out_root, "pages_text", markers=pt_markers
+    ).select("part_id", "url", "lang", "text")
+    if pt_markers:
+        docs = (
+            docs.groupBy("url")
+            .agg(
+                F.min_by(
+                    F.struct("part_id", "lang", "text"),
+                    F.struct("text", "lang"),
+                ).alias("_w")
+            )
+            .select("_w.part_id", "url", "_w.lang", "_w.text")
+        )
     # NO checkpoint here: the funnel aggregate and the pack/write job
     # share the dedup shuffle's stage output (Spark reuses shuffle
     # files across jobs on the same lineage — the second job's
@@ -727,10 +750,21 @@ def run_curation_phase(
     # (round-3 ADVICE, medium): parts extracted by the old code have
     # triples commits but no pages_text rows, so a non-None total that
     # doesn't cover every triples part is an undercount, not an answer
-    n_in = sinks.committed_row_total(
-        spark, out_root, "pages_text", include_streamed=True
+    committed_n, streamed_n = sinks.table_row_totals(
+        spark, out_root, "pages_text"
     )
-    if n_in is not None:
+    if committed_n is not None and streamed_n:
+        # MIXED root: a covering batch overwrite re-extracts streamed
+        # pages into batch commits while the append-only markers
+        # survive, so committed+streamed would double-count (round-4
+        # review) — count the durable view this phase actually reads
+        n_in = None
+    elif committed_n is None:
+        # streamed-only root: the marker totals ARE the exactly-once
+        # row count (replays no-op, crashed attempts have no marker)
+        n_in = streamed_n or None
+    else:
+        n_in = committed_n
         cov = sinks.committed_part_map(
             spark, out_root, ["pages_text", "triples"]
         )

@@ -259,10 +259,7 @@ def resume_state(
 
 
 def committed_row_total(
-    spark: SparkSession,
-    root: str,
-    table_name: str,
-    include_streamed: bool = False,
+    spark: SparkSession, root: str, table_name: str
 ) -> int | None:
     """Total committed rows of a table straight from the manifest —
     None if the table has no committed rows. Latest commit per part
@@ -270,36 +267,24 @@ def committed_row_total(
     count). This is the O(manifest) substitute for a full-corpus
     ``count()`` job: at web scale, re-scanning 10^12 pages to learn a
     number the commit protocol already wrote down is a whole extra
-    job bought for nothing.
-
-    ``include_streamed`` adds the exactly-once streamed rows: each
-    ``BATCH_MARKER`` row's rows_out records its batch's total, every
-    completed batch has exactly one marker (replays no-op), and
-    crashed attempts have none — so summing markers IS the orphan-free
-    streamed count, still one manifest read."""
+    job bought for nothing. For streamed totals see
+    :func:`table_row_totals` (and its mixed-root caveat)."""
     path = manifest_path(root)
     try:
         m = spark.read.parquet(path)
     except Exception:
         return None
-    t = m.filter(F.col("table_name") == table_name)
     agg = (
-        t.filter(F.col("status") == "committed")
+        m.filter(
+            (F.col("table_name") == table_name)
+            & (F.col("status") == "committed")
+        )
         .groupBy("part_id")
         .agg(F.max_by("rows_out", "committed_at").alias("n"))
         .agg(F.sum("n").alias("total"))
         .first()
     )
-    total = None if agg is None or agg["total"] is None else int(agg["total"])
-    if include_streamed:
-        s = (
-            t.filter(F.col("status") == BATCH_MARKER)
-            .agg(F.sum("rows_out").alias("total"))
-            .first()
-        )
-        if s is not None and s["total"] is not None:
-            total = (total or 0) + int(s["total"])
-    return total
+    return None if agg is None or agg["total"] is None else int(agg["total"])
 
 
 def stream_marker_runs(
@@ -325,6 +310,70 @@ def stream_marker_runs(
         .collect()
     )
     return {r["run_id"] for r in rows}
+
+
+def stream_marker_map(
+    spark: SparkSession, root: str, table_names: list[str]
+) -> dict[str, set[str]]:
+    """``stream_marker_runs`` for SEVERAL tables in ONE manifest read —
+    the extract-phase guard needs both tables' marker sets and should
+    not pay one driver round-trip per table."""
+    out: dict[str, set[str]] = {t: set() for t in table_names}
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return out
+    rows = (
+        m.filter(
+            F.col("table_name").isin(table_names)
+            & (F.col("status") == BATCH_MARKER)
+        )
+        .select("table_name", "run_id")
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        out[r["table_name"]].add(r["run_id"])
+    return out
+
+
+def table_row_totals(
+    spark: SparkSession, root: str, table_name: str
+) -> tuple[int | None, int]:
+    """(committed_total, streamed_marker_total) in ONE manifest read.
+
+    ``committed_total`` is the latest-commit-per-part sum (None when
+    the table has no batch commits); ``streamed_marker_total`` sums
+    each ``BATCH_MARKER``'s recorded batch total — exactly-once by
+    construction (replays no-op, crashed attempts write no marker).
+    Callers must NOT simply add the two on a MIXED root: a covering
+    batch overwrite re-extracts streamed pages into batch commits
+    while the append-only markers survive, so the marker total then
+    describes superseded rows (the round-4 review's double-count)."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return None, 0
+    rows = (
+        m.filter(F.col("table_name") == table_name)
+        .select("part_id", "status", "rows_out", "committed_at")
+        .collect()
+    )
+    latest: dict[int, tuple] = {}
+    for r in rows:
+        if r["status"] == "committed":
+            prev = latest.get(r["part_id"])
+            if prev is None or r["committed_at"] > prev[0]:
+                latest[r["part_id"]] = (r["committed_at"], r["rows_out"])
+    committed = (
+        sum(v[1] for v in latest.values()) if latest else None
+    )
+    streamed = sum(
+        r["rows_out"] for r in rows if r["status"] == BATCH_MARKER
+    )
+    return committed, int(streamed)
 
 
 def read_streamed_consistent(
@@ -450,10 +499,15 @@ def vacuum_streamed(
     from urllib.parse import unquote, urlparse
 
     markers = stream_marker_runs(spark, root, table_name)
-    data = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(root, table_name))
-    )
+    try:
+        data = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(root, table_name))
+        )
+    except Exception:
+        # absent table, or an empty dir with no readable schema (a
+        # corpus where no page yields a mention) — nothing to reclaim
+        return 0
     if "_batch_run" not in data.columns:
         return 0
     tagged = data.where(F.col("_batch_run").isNotNull())
@@ -471,7 +525,12 @@ def vacuum_streamed(
     return len(files)
 
 
-def read_durable(spark: SparkSession, root: str, table_name: str) -> DataFrame:
+def read_durable(
+    spark: SparkSession,
+    root: str,
+    table_name: str,
+    markers: set[str] | None = None,
+) -> DataFrame:
     """Every durable row of a table: all BATCH-written rows (manifest
     commit or not — dynamic overwrite makes each batch partition a
     self-consistent whole, and the whole-corpus phases deliberately
@@ -483,8 +542,11 @@ def read_durable(spark: SparkSession, root: str, table_name: str) -> DataFrame:
     (canonicalize, curation): broader than :func:`read_committed`
     (which hides uncommitted batch parts) but still orphan-free. On a
     never-streamed root it is a plain parquet read — no schema merge,
-    no filter."""
-    markers = sorted(stream_marker_runs(spark, root, table_name))
+    no filter. Pass ``markers`` when the caller already read them
+    (one manifest round-trip instead of two)."""
+    if markers is None:
+        markers = stream_marker_runs(spark, root, table_name)
+    markers = sorted(markers)
     if not markers:
         return read_table(spark, root, table_name)
     data = (

@@ -515,3 +515,75 @@ def test_overwrite_guard_catches_zero_mention_streamed_pages(
     with pytest.raises(ValueError, match="streamed pages"):
         pipeline.run_extract_phase(spark, subset, out_root, "b1",
                                    buckets=BUCKETS)
+
+
+def test_batch_runs_survive_after_covering_overwrite_consumed_streamed_files(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-4 review fix: after a covering batch overwrite deletes
+    every streamed file, the append-only markers outlive the tag
+    column itself — later batch runs (and an empty-marker-only root)
+    must not crash on the unresolved _batch_run column, and curation's
+    n_in must not double-count the re-extracted streamed pages."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("post_covering"))
+    pages = spark.read.parquet(corpus_path)
+    process_micro_batch(pages.limit(10), 0, out_root, "s", buckets=BUCKETS)
+    # covering batch: consumes every streamed page, deletes tagged files
+    pipeline.run(spark, pages, out_root, "b1", buckets=BUCKETS,
+                 canonicalize=False)
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_root, "pages_text")
+    )
+    assert "_batch_run" not in raw.columns  # the hazard is real
+
+    # another batch run: the guard must handle markers-without-files
+    stats = pipeline.run(spark, pages, out_root, "b2", buckets=BUCKETS,
+                         canonicalize=False)
+    assert stats["parts_written"] == 0  # fully committed, no crash
+
+    # n_in counts each page ONCE (not batch + stale marker totals)
+    cur = pipeline.run_curation_phase(spark, out_root, "c1",
+                                      buckets=BUCKETS)
+    assert cur["n_in"] == pages.count()
+
+
+def test_redelivered_url_canonicalizes_once(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-4 review fix: a url delivered by BOTH paths — batch
+    commit, then a streamed re-crawl appended into the already-
+    committed part — must be represented once in the canonicalize and
+    curation inputs, not twice."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("redelivery"))
+    pages = spark.read.parquet(corpus_path)
+    pipeline.run(spark, pages, out_root, "b1", buckets=BUCKETS)
+    want_entities = pipeline.run_canonicalize_phase(
+        spark, out_root, "c0", buckets=BUCKETS
+    )["n_entities"]
+
+    # streamed re-delivery of 10 already-committed pages
+    process_micro_batch(pages.limit(10), 0, out_root, "s", buckets=BUCKETS)
+    canon = pipeline.run_canonicalize_phase(spark, out_root, "c1",
+                                            buckets=BUCKETS)
+    assert canon["n_entities"] == want_entities, (
+        "re-delivered urls were double-represented in canonicalization"
+    )
+    cur = pipeline.run_curation_phase(spark, out_root, "k1",
+                                      buckets=BUCKETS)
+    # the curated table holds each url once
+    curated = sinks.read_table(spark, out_root, "pages_curated")
+    assert curated.select("url").distinct().count() == curated.count()
+
+
+def test_vacuum_on_empty_or_missing_table_is_noop(spark, tmp_path_factory):
+    """Round-4 review fix: vacuuming a root whose table is absent (or
+    an empty dir with no readable schema) returns 0 instead of
+    crashing after an otherwise-successful run."""
+    root = str(tmp_path_factory.mktemp("vacuum_empty"))
+    assert sinks.vacuum_streamed(spark, root, "triples") == 0
+    os.makedirs(os.path.join(root, "triples"))
+    assert sinks.vacuum_streamed(spark, root, "triples") == 0
