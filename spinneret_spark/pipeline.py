@@ -504,16 +504,18 @@ def run_canonicalize_phase(
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while
     # crashed-attempt orphans and replay duplicates stay invisible
-    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
-    docs = sinks.read_durable(
-        spark, out_root, "pages_text", markers=pt_markers
-    ).select(F.col("url").alias("doc_id"), "text")
-    if pt_markers:
+    durable, has_streamed = sinks.read_durable_tagged(
+        spark, out_root, "pages_text"
+    )
+    docs = durable.select(F.col("url").alias("doc_id"), "text")
+    if has_streamed:
         # a url delivered by BOTH paths (batch commit + a later
         # streamed re-crawl appended into an already-committed part)
         # must canonicalize as ONE doc — deterministic first-seen by
-        # content. Only streamed roots pay this shuffle; pure-batch
-        # corpora keep the shuffle-free read.
+        # content. Only roots where tagged files SURVIVE pay this
+        # shuffle; pure-batch corpora — including ever-streamed roots
+        # whose streamed files a covering overwrite consumed — keep
+        # the shuffle-free read.
         docs = docs.groupBy("doc_id").agg(F.min("text").alias("text"))
     # edges and assignment feed multiple downstream actions (CC loop,
     # entity rollup, triple rewrite, writes) — localCheckpoint both:
@@ -709,21 +711,32 @@ def run_curation_phase(
         empty["seconds"] = time.time() - t0
         return empty
     # same durable view as canonicalize: streamed pages are curated
-    # alongside batch pages; orphans/replays stay invisible. On a
-    # streamed root, a url delivered by both paths curates once —
-    # deterministic winner by (text, lang); pure-batch corpora skip
-    # the extra shuffle entirely.
-    pt_markers = sinks.stream_marker_runs(spark, out_root, "pages_text")
-    docs = sinks.read_durable(
-        spark, out_root, "pages_text", markers=pt_markers
-    ).select("part_id", "url", "lang", "text")
-    if pt_markers:
+    # alongside batch pages; orphans/replays stay invisible. Where
+    # tagged streamed files survive, a url delivered by both paths
+    # curates once — non-null text beats null (a failed re-crawl
+    # extraction must not evict a good page: struct ordering sorts
+    # NULL first, so the key leads with the null flag), then
+    # deterministic min by (text, lang), matching canonicalize's
+    # null-skipping F.min winner. Pure-batch corpora — including
+    # roots whose streamed files a covering overwrite consumed —
+    # skip the extra shuffle entirely.
+    ms = sinks.manifest_summary(spark, out_root, ["pages_text", "triples"])
+    pt = ms["pages_text"]
+    docs, has_streamed = sinks.read_durable_tagged(
+        spark, out_root, "pages_text", markers=pt["markers"]
+    )
+    docs = docs.select("part_id", "url", "lang", "text")
+    if has_streamed:
         docs = (
             docs.groupBy("url")
             .agg(
                 F.min_by(
                     F.struct("part_id", "lang", "text"),
-                    F.struct("text", "lang"),
+                    F.struct(
+                        F.col("text").isNull().alias("tnull"),
+                        "text",
+                        "lang",
+                    ),
                 ).alias("_w")
             )
             .select("_w.part_id", "url", "_w.lang", "_w.text")
@@ -750,25 +763,28 @@ def run_curation_phase(
     # (round-3 ADVICE, medium): parts extracted by the old code have
     # triples commits but no pages_text rows, so a non-None total that
     # doesn't cover every triples part is an undercount, not an answer
-    committed_n, streamed_n = sinks.table_row_totals(
-        spark, out_root, "pages_text"
-    )
-    if committed_n is not None and streamed_n:
-        # MIXED root: a covering batch overwrite re-extracts streamed
-        # pages into batch commits while the append-only markers
-        # survive, so committed+streamed would double-count (round-4
-        # review) — count the durable view this phase actually reads
+    committed_n = pt["committed_total"]
+    streamed_n = pt["streamed_total"]
+    if has_streamed and committed_n is not None:
+        # MIXED root with SURVIVING streamed files: a streamed row may
+        # re-deliver a batch-committed url (or vice versa after a
+        # partial overwrite), so no manifest arithmetic can know the
+        # overlap — count the durable view this phase actually reads.
+        # Once a covering overwrite consumes the streamed files,
+        # has_streamed flips false and the O(manifest) math returns.
         n_in = None
-    elif committed_n is None:
+    elif has_streamed:
         # streamed-only root: the marker totals ARE the exactly-once
         # row count (replays no-op, crashed attempts have no marker)
         n_in = streamed_n or None
     else:
+        # pure-batch view (never streamed, or streamed rows fully
+        # superseded by covering batch commits): commit math, with
+        # the legacy partial-coverage fallback
         n_in = committed_n
-        cov = sinks.committed_part_map(
-            spark, out_root, ["pages_text", "triples"]
-        )
-        if cov["triples"] - cov["pages_text"]:
+        if n_in is not None and (
+            ms["triples"]["committed_parts"] - pt["committed_parts"]
+        ):
             n_in = None
     if n_in is None:
         n_in = docs.count()

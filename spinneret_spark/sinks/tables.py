@@ -268,7 +268,7 @@ def committed_row_total(
     ``count()`` job: at web scale, re-scanning 10^12 pages to learn a
     number the commit protocol already wrote down is a whole extra
     job bought for nothing. For streamed totals see
-    :func:`table_row_totals` (and its mixed-root caveat)."""
+    :func:`manifest_summary` (and its mixed-root caveat)."""
     path = manifest_path(root)
     try:
         m = spark.read.parquet(path)
@@ -338,42 +338,58 @@ def stream_marker_map(
     return out
 
 
-def table_row_totals(
-    spark: SparkSession, root: str, table_name: str
-) -> tuple[int | None, int]:
-    """(committed_total, streamed_marker_total) in ONE manifest read.
+def manifest_summary(
+    spark: SparkSession, root: str, table_names: list[str]
+) -> dict[str, dict]:
+    """Every manifest fact the metric/consistency bookkeeping needs,
+    for SEVERAL tables, in ONE read: per table a dict of
+    ``committed_parts`` (set), ``committed_total`` (latest commit per
+    part wins — the :func:`committed_row_total` rule — or None without
+    commits), ``markers`` (attempt ids), and ``streamed_total`` (sum
+    of each ``BATCH_MARKER``'s recorded batch total — exactly-once by
+    construction: replays no-op, crashed attempts write no marker).
 
-    ``committed_total`` is the latest-commit-per-part sum (None when
-    the table has no batch commits); ``streamed_marker_total`` sums
-    each ``BATCH_MARKER``'s recorded batch total — exactly-once by
-    construction (replays no-op, crashed attempts write no marker).
-    Callers must NOT simply add the two on a MIXED root: a covering
-    batch overwrite re-extracts streamed pages into batch commits
-    while the append-only markers survive, so the marker total then
-    describes superseded rows (the round-4 review's double-count)."""
+    Callers must NOT simply add committed+streamed totals on a MIXED
+    root: a covering batch overwrite re-extracts streamed pages into
+    batch commits while the append-only markers survive, so the
+    marker total then describes superseded rows — check whether
+    tagged files actually survive (:func:`read_durable_tagged`)."""
+    out: dict[str, dict] = {
+        t: {
+            "committed_parts": set(),
+            "committed_total": None,
+            "markers": set(),
+            "streamed_total": 0,
+        }
+        for t in table_names
+    }
     path = manifest_path(root)
     try:
         m = spark.read.parquet(path)
     except Exception:
-        return None, 0
+        return out
     rows = (
-        m.filter(F.col("table_name") == table_name)
-        .select("part_id", "status", "rows_out", "committed_at")
+        m.filter(F.col("table_name").isin(table_names))
+        .select("table_name", "part_id", "status", "rows_out",
+                "run_id", "committed_at")
         .collect()
     )
-    latest: dict[int, tuple] = {}
+    latest: dict[tuple, tuple] = {}
     for r in rows:
+        e = out[r["table_name"]]
         if r["status"] == "committed":
-            prev = latest.get(r["part_id"])
-            if prev is None or r["committed_at"] > prev[0]:
-                latest[r["part_id"]] = (r["committed_at"], r["rows_out"])
-    committed = (
-        sum(v[1] for v in latest.values()) if latest else None
-    )
-    streamed = sum(
-        r["rows_out"] for r in rows if r["status"] == BATCH_MARKER
-    )
-    return committed, int(streamed)
+            e["committed_parts"].add(r["part_id"])
+            key = (r["table_name"], r["part_id"])
+            prev = latest.get(key)
+            if prev is None or r["committed_at"] >= prev[0]:
+                latest[key] = (r["committed_at"], r["rows_out"])
+        elif r["status"] == BATCH_MARKER:
+            e["markers"].add(r["run_id"])
+            e["streamed_total"] += int(r["rows_out"])
+    for (tbl, _), (_, n) in latest.items():
+        e = out[tbl]
+        e["committed_total"] = (e["committed_total"] or 0) + int(n)
+    return out
 
 
 def read_streamed_consistent(
@@ -451,33 +467,6 @@ def append_lineage(
     )
 
 
-def committed_part_map(
-    spark: SparkSession, root: str, table_names: list[str]
-) -> dict[str, set[int]]:
-    """Batch-committed part ids for SEVERAL tables in ONE manifest
-    read — coverage comparisons (e.g. "do pages_text commits cover the
-    triples commits?") should not pay one driver round-trip per
-    table."""
-    path = manifest_path(root)
-    out: dict[str, set[int]] = {t: set() for t in table_names}
-    try:
-        m = spark.read.parquet(path)
-    except Exception:
-        return out
-    rows = (
-        m.filter(
-            F.col("table_name").isin(table_names)
-            & (F.col("status") == "committed")
-        )
-        .select("table_name", "part_id")
-        .distinct()
-        .collect()
-    )
-    for r in rows:
-        out[r["table_name"]].add(r["part_id"])
-    return out
-
-
 def vacuum_streamed(
     spark: SparkSession, root: str, table_name: str
 ) -> int:
@@ -544,20 +533,38 @@ def read_durable(
     never-streamed root it is a plain parquet read — no schema merge,
     no filter. Pass ``markers`` when the caller already read them
     (one manifest round-trip instead of two)."""
+    return read_durable_tagged(spark, root, table_name, markers)[0]
+
+
+def read_durable_tagged(
+    spark: SparkSession,
+    root: str,
+    table_name: str,
+    markers: set[str] | None = None,
+) -> tuple[DataFrame, bool]:
+    """:func:`read_durable` plus whether tagged streamed files
+    actually SURVIVE on disk. Markers are append-only and outlive a
+    covering batch overwrite that deletes every streamed file; the
+    boolean is the signal that lets consumers skip streamed-root work
+    (url reconciliation shuffles, count-the-corpus metric fallbacks)
+    once supersession has made the root pure-batch again."""
     if markers is None:
         markers = stream_marker_runs(spark, root, table_name)
     markers = sorted(markers)
     if not markers:
-        return read_table(spark, root, table_name)
+        return read_table(spark, root, table_name), False
     data = (
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(root, table_name))
     )
     if "_batch_run" not in data.columns:
-        return data
-    return data.where(
-        F.col("_batch_run").isNull() | F.col("_batch_run").isin(markers)
-    ).drop("_batch_run")
+        return data, False
+    return (
+        data.where(
+            F.col("_batch_run").isNull() | F.col("_batch_run").isin(markers)
+        ).drop("_batch_run"),
+        True,
+    )
 
 
 def _manifest_rows(spark: SparkSession, root: str, table_name: str) -> list:

@@ -146,8 +146,9 @@ def process_micro_batch(
     # "{batch_run}-" prefix keeps per-batch lineage greppable):
     # per-part "streamed" rows for both tables + one attempt-unique
     # replay marker per table (rows_out on the marker = the batch's
-    # total, which lets committed_row_total(include_streamed=True)
-    # sum streamed rows straight from markers) + (first batch only)
+    # total, which lets manifest_summary's streamed_total sum the
+    # exactly-once streamed rows straight from markers) + (first
+    # batch only)
     # the bucket-count record. Markers go in even for an empty batch
     # so its replay skips.
     rows = [

@@ -538,10 +538,25 @@ def test_batch_runs_survive_after_covering_overwrite_consumed_streamed_files(
     )
     assert "_batch_run" not in raw.columns  # the hazard is real
 
+    # strip one part's commits so the rerun does NOT take the
+    # fully-committed short-circuit — it must flow THROUGH the guard
+    # (review follow-up: with all parts committed, the b2 run returned
+    # before the guard and the regression test proved nothing)
+    import shutil as _shutil
+
+    m = spark.read.parquet(sinks.manifest_path(out_root)).filter(
+        ~((F.col("status") == "committed") & (F.col("part_id") == 0))
+    )
+    kept = m.collect()
+    _shutil.rmtree(sinks.manifest_path(out_root))
+    spark.createDataFrame(kept, sinks.MANIFEST_SCHEMA).write.parquet(
+        sinks.manifest_path(out_root)
+    )
+
     # another batch run: the guard must handle markers-without-files
     stats = pipeline.run(spark, pages, out_root, "b2", buckets=BUCKETS,
                          canonicalize=False)
-    assert stats["parts_written"] == 0  # fully committed, no crash
+    assert stats["parts_written"] == 1  # rewrote part 0, no crash
 
     # n_in counts each page ONCE (not batch + stale marker totals)
     cur = pipeline.run_curation_phase(spark, out_root, "c1",
