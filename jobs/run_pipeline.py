@@ -64,6 +64,16 @@ def main() -> None:
         "reclaims the bytes — the expire-snapshots half of the "
         "Iceberg emulation)",
     )
+    ap.add_argument(
+        "--vacuum-grace-seconds",
+        type=float,
+        default=3600.0,
+        help="files younger than this are never vacuumed — the "
+        "liveness hedge that keeps a vacuum running concurrently "
+        "with an active stream from deleting a mid-flight attempt's "
+        "rows before its marker lands; keep it well above the "
+        "stream's trigger interval (0 only when no stream is active)",
+    )
     args = ap.parse_args()
 
     from spinneret_spark import pipeline
@@ -113,7 +123,10 @@ def main() -> None:
         # extracted text + norms vs triple rows), so leaking only its
         # orphans would defeat the point of the vacuum
         stats["vacuumed_files"] = sum(
-            sinks.vacuum_streamed(spark, args.out, t)
+            sinks.vacuum_streamed(
+                spark, args.out, t,
+                grace_seconds=args.vacuum_grace_seconds,
+            )
             for t in ("triples", "pages_text")
         )
     print(json.dumps(stats))

@@ -352,12 +352,19 @@ def run_extract_phase(
             .distinct()
         )
 
-    # prefer streamed pages_text — the COMPLETE record (round-4
-    # streaming writes it; zero-mention pages appear there but never
-    # create a triples partition dir); triples is the legacy fallback
-    streamed_pages = _tagged_pages("pages_text", pt_markers, "url")
-    if streamed_pages is None:
-        streamed_pages = _tagged_pages("triples", markers, "subj")
+    # UNION both sources (round-4 ADVICE): streamed pages_text is the
+    # complete record for round-4+ attempts (zero-mention pages appear
+    # there but never create a triples partition dir), while legacy
+    # attempts tagged only triples rows — a root holding both kinds
+    # must cover both, or surviving pages_text tags would make the
+    # guard ignore the legacy streamed pages entirely and let a batch
+    # overwrite destroy them without the intended loud failure
+    from_pages = _tagged_pages("pages_text", pt_markers, "url")
+    from_triples = _tagged_pages("triples", markers, "subj")
+    if from_pages is not None and from_triples is not None:
+        streamed_pages = from_pages.unionByName(from_triples).distinct()
+    else:
+        streamed_pages = from_pages if from_pages is not None else from_triples
     if streamed_pages is not None:
         batch_urls = todo.select("part_id", "url")
         # a streamed page is at risk iff (a) the batch input misses it
@@ -449,15 +456,21 @@ def run_extract_phase(
     manifest_rows = [("triples", p, n) for p, n in new_parts] + [
         ("pages_text", p, n) for p, n in page_parts
     ]
-    if not prior_buckets and (new_parts or done_ids):
+    if not prior_buckets and (
+        new_parts or done_ids == set(range(buckets))
+    ):
         # phase-wide part_id-mapping record, keyed to the triples
         # table (the resume driver); part_id carries the count.
-        # Appended even when this run wrote nothing NEW: a legacy
-        # manifest (pre-meta) that is already fully extracted has just
-        # proven — via the anti-join pass that found no work — that
-        # its commits match this bucket count, and recording that lets
-        # every future resume take the zero-job short-circuit instead
-        # of paying the corpus-scan anti-join forever (round-3 ADVICE).
+        # Backfilled on a no-new-work legacy run ONLY under FULL
+        # coverage (done_ids == every id the current mapping can
+        # produce): an empty anti-join alone does not prove the legacy
+        # commits used this count — a root partially extracted under
+        # buckets=64 and rerun with 32 finds todo empty (ids 0..31 all
+        # appear in done_ids) yet backfilling meta(32) would both
+        # short-circuit the never-extracted pages away forever AND
+        # make the mismatch guard reject the corrective 64 rerun —
+        # converting a recoverable misconfiguration into permanent
+        # manifest-endorsed data loss (round-4 ADVICE).
         manifest_rows.append(("triples", buckets, 0, sinks.BUCKETS_META))
     if manifest_rows:
         sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
@@ -647,9 +660,17 @@ def _curation_flags(
         .agg(
             F.min_by(
                 F.struct("part_id", "url", "lang", "text"), F.col("url")
-            ).alias("_w")
+            ).alias("_w"),
+            # group size rides along so the funnel can report the
+            # phase's exact input count (sum of group sizes) from the
+            # SAME aggregation — no separate count() job, and correct
+            # on every root shape (manifest arithmetic can't be: batch
+            # commit totals and streamed marker totals overlap on
+            # mixed roots, and marker totals count per-DELIVERY on
+            # streamed roots — a re-crawled url would inflate them)
+            F.count(F.lit(1)).alias("_n_dups"),
         )
-        .select("fingerprint", "_w.*")
+        .select("fingerprint", "_n_dups", "_w.*")
     )
     # quality signals INLINE (textstats.quality_score's exact
     # expressions) — a join back onto a quality projection would
@@ -663,6 +684,7 @@ def _curation_flags(
         "lang",
         "text",
         "fingerprint",
+        "_n_dups",
         ((n_tok >= min_tokens) & (rep <= max_rep_ratio)).alias(
             "_quality_ok"
         ),
@@ -720,10 +742,13 @@ def run_curation_phase(
     # null-skipping F.min winner. Pure-batch corpora — including
     # roots whose streamed files a covering overwrite consumed —
     # skip the extra shuffle entirely.
-    ms = sinks.manifest_summary(spark, out_root, ["pages_text", "triples"])
-    pt = ms["pages_text"]
+    pt = sinks.manifest_summary(spark, out_root, ["pages_text"])["pages_text"]
     docs, has_streamed = sinks.read_durable_tagged(
-        spark, out_root, "pages_text", markers=pt["markers"]
+        spark,
+        out_root,
+        "pages_text",
+        markers=pt["markers"],
+        evidence=pt["stream_evidence"],
     )
     docs = docs.select("part_id", "url", "lang", "text")
     if has_streamed:
@@ -749,48 +774,27 @@ def run_curation_phase(
     flagged = _curation_flags(docs, min_tokens, max_rep_ratio,
                               sample_fraction)
 
+    # n_in (rows entering the phase — the durable reconciled view this
+    # phase actually curates) comes out of the SAME funnel job as the
+    # other stage counts: the dedup aggregation carries each
+    # fingerprint's group size, and their sum is exactly docs.count()
+    # without a second corpus scan. This replaced the manifest
+    # arithmetic (round-4 ADVICE): commit totals and marker totals
+    # can't be safely combined on mixed roots, and marker totals count
+    # per-delivery (a url re-streamed in a later micro-batch inflates
+    # them) — the in-job sum is exact on every root shape for free.
     funnel = flagged.agg(
+        F.sum("_n_dups").alias("n_in"),
         F.count(F.lit(1)).alias("after_dedup"),
         F.sum(F.col("_quality_ok").cast("long")).alias("after_quality"),
         F.sum(
             (F.col("_quality_ok") & F.col("_sampled")).cast("long")
         ).alias("curated"),
     ).first()
-    # input row count from the extract phase's manifest commits — an
-    # O(manifest) read, not another full-corpus count() job. The
-    # count() fallback fires on a legacy out_root whose manifest
-    # predates pages_text commits — including the PARTIAL case
-    # (round-3 ADVICE, medium): parts extracted by the old code have
-    # triples commits but no pages_text rows, so a non-None total that
-    # doesn't cover every triples part is an undercount, not an answer
-    committed_n = pt["committed_total"]
-    streamed_n = pt["streamed_total"]
-    if has_streamed and committed_n is not None:
-        # MIXED root with SURVIVING streamed files: a streamed row may
-        # re-deliver a batch-committed url (or vice versa after a
-        # partial overwrite), so no manifest arithmetic can know the
-        # overlap — count the durable view this phase actually reads.
-        # Once a covering overwrite consumes the streamed files,
-        # has_streamed flips false and the O(manifest) math returns.
-        n_in = None
-    elif has_streamed:
-        # streamed-only root: the marker totals ARE the exactly-once
-        # row count (replays no-op, crashed attempts have no marker)
-        n_in = streamed_n or None
-    else:
-        # pure-batch view (never streamed, or streamed rows fully
-        # superseded by covering batch commits): commit math, with
-        # the legacy partial-coverage fallback
-        n_in = committed_n
-        if n_in is not None and (
-            ms["triples"]["committed_parts"] - pt["committed_parts"]
-        ):
-            n_in = None
-    if n_in is None:
-        n_in = docs.count()
+    n_in = int(funnel["n_in"] or 0)
 
     kept = flagged.where(F.col("_quality_ok") & F.col("_sampled")).drop(
-        "_quality_ok", "_sampled"
+        "_quality_ok", "_sampled", "_n_dups"
     )
     # payload rides THROUGH the pack's range exchange — attaching
     # chunk ids via a join back on url would shuffle the text again

@@ -212,6 +212,17 @@ BATCH_MARKER = "stream_batch_done"
 #: bucket count a run's part_id mapping was computed under.
 BUCKETS_META = "meta_buckets"
 
+#: status of the pre-append intent row a streaming attempt writes
+#: BEFORE its first data file lands — the Iceberg "snapshot exists
+#: before data is reachable" ordering. Its existence is what lets
+#: :func:`read_committed` treat even the very FIRST streaming attempt
+#: on a root as evidence that tagged rows may be present: without it,
+#: a first attempt crashing between the data append and the manifest
+#: write leaves tagged files with zero manifest evidence, and the
+#: default batch read would surface the orphan rows until a replay
+#: landed evidence (the round-4 "evidence window").
+STREAM_INTENT = "stream_intent"
+
 
 def manifest_run_exists(
     spark: SparkSession, root: str, run_id: str, table_name: str
@@ -360,6 +371,7 @@ def manifest_summary(
             "committed_total": None,
             "markers": set(),
             "streamed_total": 0,
+            "stream_evidence": False,
         }
         for t in table_names
     }
@@ -386,6 +398,12 @@ def manifest_summary(
         elif r["status"] == BATCH_MARKER:
             e["markers"].add(r["run_id"])
             e["streamed_total"] += int(r["rows_out"])
+            e["stream_evidence"] = True
+        elif r["status"] in ("streamed", STREAM_INTENT):
+            # any streaming trace — intent rows included, so even a
+            # crashed FIRST attempt flips this on and readers filter
+            # its orphan tagged rows
+            e["stream_evidence"] = True
     for (tbl, _), (_, n) in latest.items():
         e = out[tbl]
         e["committed_total"] = (e["committed_total"] or 0) + int(n)
@@ -468,7 +486,8 @@ def append_lineage(
 
 
 def vacuum_streamed(
-    spark: SparkSession, root: str, table_name: str
+    spark: SparkSession, root: str, table_name: str,
+    grace_seconds: float = 3600.0,
 ) -> int:
     """Delete data files left by streaming attempts that never wrote
     their ``BATCH_MARKER`` — the expire-snapshots half of the Iceberg
@@ -482,9 +501,22 @@ def vacuum_streamed(
     append job), and batch-written files have no tag column at all —
     so a file is deletable iff any of its rows carries an unmarked
     tag. Markers stay in the manifest, so a replayed batch still
-    no-ops after a vacuum. Deletion goes through the driver's local
+    no-ops after a vacuum.
+
+    ``grace_seconds`` is the liveness hedge (round-4 ADVICE, the
+    Iceberg remove-orphan-files pattern): a streaming attempt that is
+    MID-FLIGHT — data appended, marker not yet written — is
+    indistinguishable from a crashed orphan by manifest evidence
+    alone, so files younger than the grace period (by filesystem
+    mtime) are skipped; a vacuum running concurrently with an active
+    stream then cannot delete rows whose marker is about to land.
+    Pass ``0`` only when the caller can assert no stream is active
+    (the tests do; a cron vacuum should keep the default well above
+    the trigger interval). Deletion goes through the driver's local
     filesystem here; on a cluster the same file list feeds the Hadoop
     FileSystem API (or Iceberg's ``expire_snapshots``)."""
+    import time as _time
+
     from urllib.parse import unquote, urlparse
 
     markers = stream_marker_runs(spark, root, table_name)
@@ -508,10 +540,19 @@ def vacuum_streamed(
         .distinct()
         .collect()
     ]
+    cutoff = _time.time() - grace_seconds
+    deleted = 0
     for f in files:
         p = urlparse(f)
-        os.remove(unquote(p.path) if p.scheme in ("file", "") else f)
-    return len(files)
+        local = unquote(p.path) if p.scheme in ("file", "") else f
+        try:
+            if os.path.getmtime(local) > cutoff:
+                continue  # young enough to be a live in-flight attempt
+        except OSError:
+            continue  # already gone (concurrent vacuum / manual clean)
+        os.remove(local)
+        deleted += 1
+    return deleted
 
 
 def read_durable(
@@ -519,6 +560,7 @@ def read_durable(
     root: str,
     table_name: str,
     markers: set[str] | None = None,
+    evidence: bool | None = None,
 ) -> DataFrame:
     """Every durable row of a table: all BATCH-written rows (manifest
     commit or not — dynamic overwrite makes each batch partition a
@@ -531,9 +573,9 @@ def read_durable(
     (canonicalize, curation): broader than :func:`read_committed`
     (which hides uncommitted batch parts) but still orphan-free. On a
     never-streamed root it is a plain parquet read — no schema merge,
-    no filter. Pass ``markers`` when the caller already read them
-    (one manifest round-trip instead of two)."""
-    return read_durable_tagged(spark, root, table_name, markers)[0]
+    no filter. Pass ``markers`` (and ``evidence``) when the caller
+    already read them (one manifest round-trip instead of two)."""
+    return read_durable_tagged(spark, root, table_name, markers, evidence)[0]
 
 
 def read_durable_tagged(
@@ -541,17 +583,30 @@ def read_durable_tagged(
     root: str,
     table_name: str,
     markers: set[str] | None = None,
+    evidence: bool | None = None,
 ) -> tuple[DataFrame, bool]:
-    """:func:`read_durable` plus whether tagged streamed files
+    """:func:`read_durable` plus whether marker-valid streamed files
     actually SURVIVE on disk. Markers are append-only and outlive a
     covering batch overwrite that deletes every streamed file; the
     boolean is the signal that lets consumers skip streamed-root work
     (url reconciliation shuffles, count-the-corpus metric fallbacks)
-    once supersession has made the root pure-batch again."""
+    once supersession has made the root pure-batch again.
+
+    ``evidence`` is the broader "streaming ever touched this root"
+    flag (:func:`manifest_summary`'s ``stream_evidence`` — markers OR
+    per-part streamed rows OR pre-append ``STREAM_INTENT`` rows). A
+    root whose ONLY streaming trace is an intent row (the first
+    attempt crashed before its marker landed) has zero marker-valid
+    rows yet still holds orphan tagged files — the read must filter
+    them out rather than fall through to the raw fast path."""
     if markers is None:
-        markers = stream_marker_runs(spark, root, table_name)
+        summ = manifest_summary(spark, root, [table_name])[table_name]
+        markers = summ["markers"]
+        evidence = summ["stream_evidence"]
+    if evidence is None:
+        evidence = bool(markers)
     markers = sorted(markers)
-    if not markers:
+    if not evidence:
         return read_table(spark, root, table_name), False
     data = (
         spark.read.option("mergeSchema", "true")
@@ -563,7 +618,7 @@ def read_durable_tagged(
         data.where(
             F.col("_batch_run").isNull() | F.col("_batch_run").isin(markers)
         ).drop("_batch_run"),
-        True,
+        bool(markers),
     )
 
 
@@ -607,10 +662,9 @@ def read_committed(
     * On a root the manifest shows streaming has touched, even the
       default batch-only read filters out tagged rows, so streamed
       files appended into already-committed parts can never leak into
-      a batch read. (The one undetectable window: the very first
-      streaming attempt ever crashing pre-manifest leaves tagged files
-      with zero manifest evidence; its replay lands evidence and
-      closes the window.)
+      a batch read. Every attempt writes a ``STREAM_INTENT`` row
+      BEFORE its first data file, so evidence exists even when the
+      very first attempt crashes pre-marker — no undetectable window.
 
     Pass ``latest_run_only=True`` for whole-corpus tables — see
     :func:`committed_parts`."""
@@ -632,8 +686,12 @@ def read_committed(
         {r["run_id"] for r in rows if r["status"] == BATCH_MARKER}
     )
     want_streamed = "streamed" in statuses
+    # intent rows count as evidence: an attempt writes its
+    # STREAM_INTENT row BEFORE any data file, so even a first attempt
+    # that crashes pre-marker leaves proof that tagged rows may exist
+    # and the batch view below filters them out (the round-4 window)
     stream_evidence = bool(markers) or any(
-        r["status"] == "streamed" for r in rows
+        r["status"] in ("streamed", STREAM_INTENT) for r in rows
     )
     if not (want_streamed or stream_evidence):
         # pure-batch root: plain read, no schema merge, no tag filter

@@ -408,7 +408,9 @@ def test_vacuum_streamed_deletes_orphan_files_only(
     )
     assert raw.count() == good + n_orphans
 
-    n_deleted = sinks.vacuum_streamed(spark, out_root, "triples")
+    n_deleted = sinks.vacuum_streamed(
+        spark, out_root, "triples", grace_seconds=0
+    )
     assert n_deleted > 0
     raw_after = spark.read.option("mergeSchema", "true").parquet(
         _os.path.join(out_root, "triples")
@@ -419,7 +421,10 @@ def test_vacuum_streamed_deletes_orphan_files_only(
         == good
     )
     # second vacuum is a no-op; replay of the completed batch still skips
-    assert sinks.vacuum_streamed(spark, out_root, "triples") == 0
+    assert (
+        sinks.vacuum_streamed(spark, out_root, "triples", grace_seconds=0)
+        == 0
+    )
     process_micro_batch(batch, 0, out_root, "v", buckets=BUCKETS)
     assert (
         sinks.read_streamed_consistent(spark, out_root, "triples").count()
@@ -599,6 +604,177 @@ def test_vacuum_on_empty_or_missing_table_is_noop(spark, tmp_path_factory):
     an empty dir with no readable schema) returns 0 instead of
     crashing after an otherwise-successful run."""
     root = str(tmp_path_factory.mktemp("vacuum_empty"))
-    assert sinks.vacuum_streamed(spark, root, "triples") == 0
+    assert (
+        sinks.vacuum_streamed(spark, root, "triples", grace_seconds=0) == 0
+    )
     os.makedirs(os.path.join(root, "triples"))
-    assert sinks.vacuum_streamed(spark, root, "triples") == 0
+    assert (
+        sinks.vacuum_streamed(spark, root, "triples", grace_seconds=0) == 0
+    )
+
+
+def test_first_attempt_crash_leaves_no_visible_orphans(
+    spark, corpus_path, tmp_path_factory, monkeypatch
+):
+    """VERDICT r4 item 3: the very FIRST streaming attempt on a root
+    crashing between its data append and its marker write must leave
+    manifest evidence (the pre-append STREAM_INTENT row), so the
+    default batch view and the durable whole-corpus view both hide
+    its orphan rows — previously this exact state was the one
+    undetectable window."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("first_crash"))
+    pages = spark.read.parquet(corpus_path)
+    batch_half = pages.limit(30)
+
+    # batch phase first: committed parts exist, so a leak would show
+    pipeline.run_extract_phase(
+        spark, batch_half, out_root, "b1", buckets=BUCKETS
+    )
+    want_triples = sinks.read_committed(spark, out_root, "triples").count()
+    want_pages = sinks.read_durable(spark, out_root, "pages_text").count()
+    assert want_triples > 0
+
+    # first-ever streaming attempt, crashed AFTER data, BEFORE its
+    # final manifest write (markers + streamed rows never land)
+    calls = {"n": 0}
+    real = sinks.append_manifest_multi
+
+    def crash_on_final(session, root, run_id, rows, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # 1st call = the pre-append intent row
+            raise RuntimeError("simulated crash before marker write")
+        return real(session, root, run_id, rows, **kw)
+
+    monkeypatch.setattr(sinks, "append_manifest_multi", crash_on_final)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        process_micro_batch(pages, 0, out_root, "s1", buckets=BUCKETS)
+    monkeypatch.undo()
+
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_root, "triples")
+    )
+    assert raw.count() > want_triples, "orphan rows should be on disk"
+
+    # default batch view: orphans invisible
+    assert (
+        sinks.read_committed(spark, out_root, "triples").count()
+        == want_triples
+    )
+    # durable whole-corpus view (canonicalize/curation input): zero
+    # markers exist, yet the intent row forces the tag filter
+    durable, has_streamed = sinks.read_durable_tagged(
+        spark, out_root, "pages_text"
+    )
+    assert durable.count() == want_pages
+    assert not has_streamed  # no marker-valid streamed rows survive
+    # and curation over the root counts only the batch pages
+    cur = pipeline.run_curation_phase(spark, out_root, "c1", buckets=BUCKETS)
+    assert cur["n_in"] == want_pages
+
+
+def test_vacuum_grace_period_spares_young_files(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-4 ADVICE (medium): a mid-flight attempt — data appended,
+    marker not yet written — is indistinguishable from a crashed
+    orphan, so vacuum must skip files younger than the grace period;
+    only an explicit grace of 0 (caller asserts no live stream)
+    reclaims them immediately."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("vacuum_grace"))
+    batch = spark.read.parquet(corpus_path).limit(20)
+    process_micro_batch(batch, 0, out_root, "g", buckets=BUCKETS)
+    good = sinks.read_streamed_consistent(spark, out_root, "triples").count()
+
+    orphans = (
+        pipeline.pages_to_triples(pipeline.with_part_id(batch, BUCKETS))
+        .withColumn("_batch_run", F.lit("g-b1-feedfacecafe"))
+    )
+    orphans.write.partitionBy("part_id").mode("append").parquet(
+        os.path.join(out_root, "triples")
+    )
+
+    # default grace: the just-written files look like a live attempt
+    assert sinks.vacuum_streamed(spark, out_root, "triples") == 0
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_root, "triples")
+    )
+    assert raw.count() > good  # nothing deleted
+
+    # caller-asserted no-live-stream: reclaim now
+    assert (
+        sinks.vacuum_streamed(spark, out_root, "triples", grace_seconds=0)
+        > 0
+    )
+    assert (
+        sinks.read_streamed_consistent(spark, out_root, "triples").count()
+        == good
+    )
+
+
+def test_overwrite_guard_covers_legacy_triples_only_attempts(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-4 ADVICE (low): on a root holding BOTH a legacy streamed
+    attempt (triples-tagged rows only — pre-round-4 streaming never
+    wrote pages_text) and a current attempt (pages_text too), the
+    guard must union both sources; preferring pages_text would ignore
+    the legacy streamed pages entirely and let a batch overwrite
+    destroy them silently."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("guard_union"))
+    pages = spark.read.parquet(corpus_path)
+    legacy_page = pages.orderBy("url").limit(1)
+    rest = pages.orderBy("url").offset(1)
+
+    # LEGACY attempt: tagged triples rows + marker, NO pages_text rows
+    attempt = "old-b0-0123456789ab"
+    legacy_triples = (
+        pipeline.pages_to_triples(pipeline.with_part_id(legacy_page, BUCKETS))
+        .withColumn("_batch_run", F.lit(attempt))
+    )
+    n_legacy = legacy_triples.count()
+    assert n_legacy > 0, "fixture page must yield mentions"
+    legacy_triples.write.partitionBy("part_id").mode("append").parquet(
+        os.path.join(out_root, "triples")
+    )
+    sinks.append_manifest_multi(
+        spark, out_root, attempt,
+        [("triples", -1, n_legacy, sinks.BATCH_MARKER),
+         ("triples", BUCKETS, 0, sinks.BUCKETS_META)],
+    )
+    # CURRENT attempt on other pages: writes pages_text + triples tags
+    process_micro_batch(rest.limit(5), 1, out_root, "new", buckets=BUCKETS)
+
+    # batch input that misses the legacy page but rewrites its part
+    with pytest.raises(ValueError, match="streamed pages"):
+        pipeline.run_extract_phase(
+            spark, pages.join(legacy_page, "url", "left_anti"),
+            out_root, "b1", buckets=BUCKETS,
+        )
+
+
+def test_curation_n_in_counts_redelivered_urls_once(
+    spark, corpus_path, tmp_path_factory
+):
+    """Round-4 ADVICE (low): a url re-streamed in a later micro-batch
+    (re-crawl) must not inflate curation's n_in — the funnel counts
+    the durable deduplicated view the phase actually curates, not one
+    row per delivery."""
+    from spinneret_spark.streaming.incremental import process_micro_batch
+
+    out_root = str(tmp_path_factory.mktemp("nin_redeliver"))
+    batch = spark.read.parquet(corpus_path).limit(15)
+    process_micro_batch(batch, 0, out_root, "r", buckets=BUCKETS)
+    process_micro_batch(batch, 1, out_root, "r", buckets=BUCKETS)  # re-crawl
+
+    # marker totals now count each delivery twice
+    summ = sinks.manifest_summary(spark, out_root, ["pages_text"])
+    assert summ["pages_text"]["streamed_total"] == 2 * batch.count()
+
+    cur = pipeline.run_curation_phase(spark, out_root, "c1", buckets=BUCKETS)
+    assert cur["n_in"] == batch.count()
