@@ -155,3 +155,57 @@ def stream_first_seen_pages(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: durable table name for the first-seen deduped pages stream.
+FIRST_SEEN_TABLE = "pages_first_seen"
+
+
+def stream_first_seen_pages_durable(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    checkpoint_dir: str,
+    run_id: str,
+    schema: str = (
+        "page_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    ),
+    ttl_minutes: int | None = None,
+    buckets: int = 16,
+    max_files_per_trigger: int = 1,
+    trigger_once: bool = True,
+):
+    """Like :func:`stream_first_seen_pages`, but the deduped pages
+    land in the manifest-governed ``pages_first_seen`` table under
+    the full streamed-append contract (replay no-op, crashed-attempt
+    orphans invisible, vacuum-able) — the production landing path.
+
+    Bucketing by ``pmod(xxhash64(fingerprint), buckets)`` matches the
+    state-store key, so the durable layout mirrors the state
+    partitioning; read with ``sinks.read_streamed_consistent(spark,
+    out_root, FIRST_SEEN_TABLE)``. The state store guarantees each
+    fingerprint is EMITTED once; the per-batch marker guarantees each
+    emission is LANDED once even across checkpoint replays.
+    """
+    from spinneret_spark.streaming.durable import durable_foreach_batch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_path)
+    )
+    deduped = first_seen(with_fingerprint(stream), ttl_minutes=ttl_minutes)
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(
+            durable_foreach_batch(
+                out_root, FIRST_SEEN_TABLE, run_id,
+                key_cols=("fingerprint",), buckets=buckets,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

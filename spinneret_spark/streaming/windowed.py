@@ -115,3 +115,60 @@ def stream_windowed_mention_counts(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: durable table name for the windowed rollup (manifest-governed).
+WINDOW_COUNTS_TABLE = "mention_window_counts"
+
+
+def stream_windowed_mention_counts_durable(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    checkpoint_dir: str,
+    run_id: str,
+    schema: str = (
+        "page_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    ),
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+    terms: list[str] | None = None,
+    buckets: int = 16,
+    max_files_per_trigger: int = 1,
+    trigger_once: bool = True,
+):
+    """Like :func:`stream_windowed_mention_counts`, but the finalized
+    windows land in the manifest-governed ``mention_window_counts``
+    table under the full streamed-append contract (replay no-op,
+    crashed-attempt orphans invisible, vacuum-able) — the
+    production landing path, not a demo parquet append.
+
+    Rows are bucketed by ``pmod(xxhash64(norm), buckets)`` so a
+    term's whole window history is co-located; read with
+    ``sinks.read_streamed_consistent(spark, out_root,
+    WINDOW_COUNTS_TABLE)``. Append mode + watermark means each
+    finalized window arrives in exactly one micro-batch, so the
+    per-batch marker gives end-to-end exactly-once.
+    """
+    from spinneret_spark.streaming.durable import durable_foreach_batch
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_path)
+    )
+    counts = windowed_mention_counts(stream, window, delay, terms)
+    writer = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(
+            durable_foreach_batch(
+                out_root, WINDOW_COUNTS_TABLE, run_id,
+                key_cols=("norm",), buckets=buckets,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -104,3 +104,32 @@ def test_first_seen_restart_emits_nothing_new(
         .collect()
     )
     assert not counts, f"fingerprints emitted twice across restarts: {counts}"
+
+
+def test_first_seen_durable_sink_matches_batch_and_replays_noop(
+    spark, dup_corpus, tmp_path_factory
+):
+    """Round-4 VERDICT item 1: first-seen dedup lands in the
+    manifest-governed table, equals the batch twin, and a restart
+    from checkpoint emits nothing new."""
+    from spinneret_spark.sinks import tables as sinks
+    from spinneret_spark.streaming.stateful import (
+        FIRST_SEEN_TABLE,
+        stream_first_seen_pages_durable,
+    )
+
+    root = str(tmp_path_factory.mktemp("fs_durable"))
+    ckpt = str(tmp_path_factory.mktemp("fs_durable_ckpt"))
+    for _ in range(2):
+        q = stream_first_seen_pages_durable(
+            spark, dup_corpus, root, ckpt, run_id="f1", buckets=4
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    got = sinks.read_streamed_consistent(spark, root, FIRST_SEEN_TABLE)
+    batch = first_seen(with_fingerprint(spark.read.parquet(dup_corpus)))
+    want = {(r["fingerprint"], r["url"]) for r in batch.collect()}
+    have = {(r["fingerprint"], r["url"]) for r in got.collect()}
+    assert have == want
+    assert got.count() == len(want)  # no double emission across drains

@@ -115,3 +115,45 @@ def test_windowed_stream_restart_emits_nothing_new(
     rows = spark.read.parquet(out).groupBy("window_start", "norm").count()
     dupes = rows.where(F.col("count") > 1).collect()
     assert not dupes, f"windows emitted twice across restarts: {dupes}"
+
+
+def test_windowed_durable_sink_matches_demo_and_replays_noop(
+    spark, ts_corpus, tmp_path_factory
+):
+    """Round-4 VERDICT item 1: the watermarked rollup lands in the
+    manifest-governed table with the same finalized-window content as
+    the demo parquet sink, and a from-scratch restart (checkpoint
+    intact) emits nothing new — exactly-once end to end."""
+    from spinneret_spark.sinks import tables as sinks
+    from spinneret_spark.streaming.windowed import (
+        WINDOW_COUNTS_TABLE,
+        stream_windowed_mention_counts_durable,
+    )
+
+    root = str(tmp_path_factory.mktemp("win_durable"))
+    ckpt = str(tmp_path_factory.mktemp("win_durable_ckpt"))
+    for _ in range(2):  # second drain = restart from checkpoint
+        q = stream_windowed_mention_counts_durable(
+            spark, ts_corpus, root, ckpt, run_id="w1",
+            window="1 hour", delay="30 minutes", buckets=4,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    got = sinks.read_streamed_consistent(spark, root, WINDOW_COUNTS_TABLE)
+    have = {
+        (r["window_start"], r["norm"]): r["n_pages"]
+        for r in got.collect()
+    }
+    batch = windowed_mention_counts(
+        spark.read.parquet(ts_corpus), window="1 hour", delay="30 minutes"
+    )
+    cutoff = T0 + datetime.timedelta(hours=4)
+    want = {
+        (r["window_start"], r["norm"]): r["n_pages"]
+        for r in batch.where(F.col("window_end") <= F.lit(cutoff)).collect()
+    }
+    assert have == want  # no dupes, no loss, hour 4 withheld
+    # manifest carries the exactly-once totals without a count job
+    summ = sinks.manifest_summary(spark, root, [WINDOW_COUNTS_TABLE])
+    assert summ[WINDOW_COUNTS_TABLE]["streamed_total"] == len(want)
