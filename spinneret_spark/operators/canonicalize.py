@@ -58,11 +58,40 @@ def near_dup_edges(
     sigs = minhash_signatures_pandas(
         docs, n=shingle_n, id_col=id_col, text_col=text_col
     )
+    candidates = lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+    return verify_candidate_pairs(
+        docs,
+        candidates,
+        jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+    )
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list →
+    (id_a, id_b, jaccard) edges at or above the threshold.
+
+    The verify half of :func:`near_dup_edges`, split out so the
+    incremental canonicalization path can feed it a FILTERED candidate
+    set (pairs touching changed parts only) while reusing persisted
+    signatures for the unchanged corpus — verification cost stays
+    linear in the candidates actually passed in, and only docs
+    appearing in some pair are re-shingled (semi-join prune before the
+    Arrow kernel)."""
     # candidates feed three consumers (both join sides + id pruning);
-    # materialize eagerly once or the minhash lineage recomputes three
+    # materialize eagerly once or the upstream lineage recomputes three
     # times (lazy .cache() alone races its own first fill when all
     # three consumers sit in one query)
-    candidates = _materialize(lsh_candidate_pairs(sigs, max_bucket=max_bucket))
+    candidates = _materialize(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))

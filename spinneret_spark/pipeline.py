@@ -39,6 +39,7 @@ from spinneret_spark.operators.canonicalize import (
     entity_table,
     near_dup_edges,
     rewrite_triples,
+    verify_candidate_pairs,
 )
 from spinneret_spark.operators.linking import MENTIONS_PRED, MENTIONS_PRED_LABEL
 from spinneret_spark.sinks import tables as sinks
@@ -491,53 +492,200 @@ def run_extract_phase(
     }
 
 
+def _canon_params_hash(jaccard_threshold: float, buckets: int) -> int:
+    """Hash of every knob the persisted canonicalization state depends
+    on: signatures (shingle n, MinHash k), candidate generation (LSH
+    band geometry, bucket cap), verification (threshold), and the
+    part_id mapping the snapshot tokens are keyed under. Any change
+    invalidates the delta path wholesale."""
+    from spinneret_spark.functions.hashing import MINHASH_K
+
+    return sinks._token_hash(
+        f"j={jaccard_threshold}|n=3|k={MINHASH_K}|bands=4x4|cap=500"
+        f"|buckets={buckets}"
+    )
+
+
 def run_canonicalize_phase(
     spark: SparkSession,
     out_root: str,
     run_id: str,
     jaccard_threshold: float = 0.8,
     buckets: int = DEFAULT_BUCKETS,
+    incremental: bool = True,
 ) -> dict:
     """Whole-corpus phase: near-dup edges → entities → canonical
     triples. Reads the materialized ``pages_text`` table (written by
-    the extract phase) — never re-extracts HTML."""
+    the extract phase) — never re-extracts HTML.
+
+    **Incremental (delta) canonicalization** (default): the expensive
+    stage at 100 TB is re-shingling + re-signing every document each
+    run — CC and the triple rewrite are JVM-side joins over far
+    smaller relations. Each run therefore persists its MinHash
+    signatures (``canon_signatures``, partitioned by part_id) plus a
+    per-part state-token snapshot in the manifest
+    (:func:`sinks.pages_state_tokens`), and the next run:
+
+    * recomputes signatures ONLY for parts whose token changed (new
+      batch commit or new marker-valid streamed append) — dynamic
+      partition overwrite keeps unchanged parts' signatures;
+    * re-bands the signature union (pure-JVM expressions over k longs
+      per doc — cheap) but VERIFIES only candidate pairs touching a
+      changed part: unchanged-unchanged pairs keep their verdict from
+      the persisted ``edges`` table (texts unchanged ⇒ Jaccard
+      unchanged);
+    * re-runs connected components over prior-kept ∪ newly-verified
+      edges (a new doc can bridge two old components, so CC is always
+      global — it is cheap: edges are the small relation);
+    * rewrites entities/triples_canonical as before (static
+      overwrite; the rewrite is one hash join, no Python).
+
+    Output equals the from-scratch run whenever the LSH bucket cap
+    never binds (the cap drops candidates per-bucket, so a bucket
+    pushed over the cap by NEW docs can differ between the two
+    orders — both are approximations; the verify stage keeps
+    precision exact either way). A parameter change (threshold,
+    bucket count) or a missing snapshot falls back to the full
+    recompute automatically; ``incremental=False`` forces it.
+    """
     t0 = time.time()
     empty_stats = {
         "run_id": run_id,
         "n_entities": 0,
         "n_edges": 0,
         "n_canonical_triples": 0,
+        "parts_total": 0,
+        "parts_reshingled": 0,
+        "delta": False,
         "seconds": 0.0,
     }
-    if not _partition_ids(out_root, "pages_text"):
+    parts_on_disk = set(_partition_ids(out_root, "pages_text"))
+    if not parts_on_disk:
         # empty corpus: a zero-row partitioned parquet table has no
         # data files and no readable schema — exit before touching it
         empty_stats["seconds"] = time.time() - t0
         return empty_stats
+
+    # change detection: one manifest read each. Parts with durable
+    # files but no manifest evidence (crashed pre-commit extract) get
+    # no token and are treated as changed every run.
+    tokens_now = sinks.pages_state_tokens(spark, out_root, "pages_text")
+    params_hash = _canon_params_hash(jaccard_threshold, buckets)
+    snap = sinks.latest_canon_state(spark, out_root) if incremental else None
+    delta_ok = (
+        snap is not None
+        and snap["params"] == params_hash
+        and bool(_partition_ids(out_root, "canon_signatures"))
+    )
+    if delta_ok:
+        unchanged = sorted(
+            p
+            for p in parts_on_disk
+            if p in tokens_now and snap["parts"].get(p) == tokens_now[p]
+        )
+    else:
+        unchanged = []
+    delta_parts = sorted(parts_on_disk - set(unchanged))
+
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while
     # crashed-attempt orphans and replay duplicates stay invisible
     durable, has_streamed = sinks.read_durable_tagged(
         spark, out_root, "pages_text"
     )
-    docs = durable.select(F.col("url").alias("doc_id"), "text")
-    if has_streamed:
-        # a url delivered by BOTH paths (batch commit + a later
-        # streamed re-crawl appended into an already-committed part)
-        # must canonicalize as ONE doc — deterministic first-seen by
-        # content. Only roots where tagged files SURVIVE pay this
-        # shuffle; pure-batch corpora — including ever-streamed roots
-        # whose streamed files a covering overwrite consumed — keep
-        # the shuffle-free read.
-        docs = docs.groupBy("doc_id").agg(F.min("text").alias("text"))
+
+    def _docs_view(df: DataFrame) -> DataFrame:
+        docs = df.select(F.col("url").alias("doc_id"), "text")
+        if has_streamed:
+            # a url delivered by BOTH paths (batch commit + a later
+            # streamed re-crawl appended into an already-committed
+            # part) must canonicalize as ONE doc — deterministic
+            # first-seen by content. Only roots where tagged files
+            # SURVIVE pay this shuffle (all copies of a url share a
+            # part, so the delta-filtered view dedups identically).
+            docs = docs.groupBy("doc_id").agg(F.min("text").alias("text"))
+        return docs
+
+    docs = _docs_view(durable)
+
+    def _part_of(col: str):
+        # part_id is a pure function of the url, so pair endpoints can
+        # be mapped to parts without carrying the column around
+        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+    # signatures: Arrow kernel over CHANGED parts only (partition-
+    # pruned read); unchanged parts reuse the persisted table
+    if delta_ok and unchanged:
+        docs_delta = _docs_view(
+            durable.where(F.col("part_id").isin([int(p) for p in delta_parts]))
+        )
+    else:
+        docs_delta = docs
+    from spinneret_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_pandas,
+    )
+
+    sigs_new = materialize(
+        minhash_signatures_pandas(docs_delta, id_col="doc_id")
+    )
+    if delta_parts:
+        # persist for the NEXT run: dynamic overwrite rewrites only
+        # the changed parts' signature partitions on the delta path;
+        # the full path replaces the table wholesale
+        sinks.write_partitioned(
+            sigs_new.withColumn("part_id", _part_of("id")),
+            out_root,
+            "canon_signatures",
+            shuffle=False,
+            full_overwrite=not delta_ok,
+        )
+    if delta_ok and unchanged:
+        sigs_old = (
+            sinks.read_table(spark, out_root, "canon_signatures")
+            .where(F.col("part_id").isin([int(p) for p in unchanged]))
+            .drop("part_id")
+        )
+        sigs_all = sigs_old.unionByName(sigs_new)
+    else:
+        sigs_all = sigs_new
+
+    # banding is k-longs-per-doc cheap; only pairs touching a changed
+    # part go to verification (signatures were checkpointed / are a
+    # parquet read, so no materialize inside the band join)
+    candidates = lsh_candidate_pairs(sigs_all, materialize=False)
+    if delta_ok and unchanged:
+        candidates = candidates.where(
+            _part_of("id_a").isin([int(p) for p in delta_parts])
+            | _part_of("id_b").isin([int(p) for p in delta_parts])
+        )
+    new_edges = verify_candidate_pairs(
+        docs, candidates, jaccard_threshold, id_col="doc_id"
+    )
+    if delta_ok and unchanged and _partition_ids(out_root, "edges"):
+        # unchanged-unchanged pairs keep their prior verdict; every
+        # edge touching a changed part is dropped (re-discovered via
+        # the delta candidates if still a near-dup) — which also
+        # retires edges of deleted/rewritten docs, since any deletion
+        # changes its part's token
+        kept = (
+            sinks.read_table(spark, out_root, "edges")
+            .where(
+                _part_of("id_a").isin([int(p) for p in unchanged])
+                & _part_of("id_b").isin([int(p) for p in unchanged])
+            )
+            .select("id_a", "id_b", "jaccard")
+        )
+        merged_edges = kept.unionByName(new_edges)
+    else:
+        merged_edges = new_edges
+
     # edges and assignment feed multiple downstream actions (CC loop,
     # entity rollup, triple rewrite, writes) — localCheckpoint both:
     # eager one-shot materialization (a lazy .cache() recomputes the
     # whole LSH/verify lineage per consumer until its first fill, and
     # can race its own fill across concurrent consumers)
-    edges = materialize(
-        near_dup_edges(docs, jaccard_threshold, id_col="doc_id")
-    )
+    edges = materialize(merged_edges)
     assignment = materialize(
         canonical_entities(docs, edges, id_col="doc_id")
     )
@@ -596,16 +744,28 @@ def run_canonicalize_phase(
         )
         stats = g if stats is None else stats.unionByName(g)
     rows = stats.collect() if stats is not None else []
+    # snapshot for the NEXT incremental run: per-part state tokens +
+    # the parameter hash, appended AFTER the outputs above so a crash
+    # mid-phase leaves the old snapshot in force and the rerun simply
+    # redoes the same delta (idempotent overwrites). Only parts with
+    # manifest evidence get a token; evidence-less parts stay
+    # "changed" until an extract commit proves them stable.
+    manifest_rows = [(r["tbl"], r["part_id"], r["n"]) for r in rows]
+    manifest_rows.append(
+        (sinks.CANON_STATE_TABLE, -1, params_hash, sinks.CANON_PARAMS)
+    )
+    manifest_rows.extend(
+        (sinks.CANON_STATE_TABLE, p, tok, sinks.CANON_COVERED)
+        for p, tok in tokens_now.items()
+        if p in parts_on_disk
+    )
+    sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
     if rows:
-        sinks.append_manifest_multi(
-            spark,
-            out_root,
-            run_id,
-            [(r["tbl"], r["part_id"], r["n"]) for r in rows],
-        )
         # per-partition lineage for the canonicalize outputs (north
         # rule: lineage + metrics on every materialized table, not
-        # just triples)
+        # just triples); the reshingle rows record exactly which parts
+        # paid the Arrow signature kernel this run — the delta path's
+        # audit trail
         lineage = spark.createDataFrame(
             [
                 (
@@ -615,6 +775,10 @@ def run_canonicalize_phase(
                     float(r["n"]),
                 )
                 for r in rows
+            ]
+            + [
+                (int(p), "canonicalize:reshingle", "reshingled", 1.0)
+                for p in delta_parts
             ],
             "part_id int, stage string, metric string, value double",
         )
@@ -630,6 +794,9 @@ def run_canonicalize_phase(
         "n_entities": n_entities,
         "n_edges": n_edges,
         "n_canonical_triples": n_triples,
+        "parts_total": len(parts_on_disk),
+        "parts_reshingled": len(delta_parts),
+        "delta": bool(delta_ok),
         "seconds": time.time() - t0,
     }
 

@@ -223,6 +223,110 @@ BUCKETS_META = "meta_buckets"
 #: landed evidence (the round-4 "evidence window").
 STREAM_INTENT = "stream_intent"
 
+#: pseudo-table name the canonicalize phase's snapshot bookkeeping is
+#: keyed under in the manifest — never a real on-disk table, so no
+#: read path can confuse its rows with data commits.
+CANON_STATE_TABLE = "canon_state"
+
+#: status of a per-part coverage row a canonicalize run records:
+#: ``part_id`` is the pages_text part, ``rows_out`` carries that
+#: part's state-token hash (:func:`pages_state_tokens`) at snapshot
+#: time. The next incremental run re-derives current tokens and
+#: re-processes exactly the parts whose token changed.
+CANON_COVERED = "canon_covered"
+
+#: status of the one-per-snapshot parameter-hash row (``rows_out`` =
+#: hash of threshold/shingle/LSH/bucket config): a parameter change
+#: invalidates every persisted signature and prior edge, so the next
+#: run falls back to the full recompute.
+CANON_PARAMS = "canon_params"
+
+
+def _token_hash(s: str) -> int:
+    """Deterministic 63-bit int of a token string (Python ``hash`` is
+    per-process salted; manifest rows must compare across runs)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+    ) & ((1 << 63) - 1)
+
+
+def pages_state_tokens(
+    spark: SparkSession, root: str, table_name: str = "pages_text"
+) -> dict[int, int]:
+    """Per-part content-state token for a manifest-governed table —
+    the change-detection primitive for incremental canonicalization.
+
+    A part's visible content is fully determined by (a) the LATEST
+    batch commit that dynamically overwrote it and (b) the set of
+    marker-valid streaming attempts that appended rows into it
+    (orphan attempts are invisible to every reader and excluded, so a
+    vacuum never changes a token). The token hashes exactly those two
+    facts; token equality across runs ⇒ identical durable rows.
+
+    One manifest read; O(manifest) driver work. Parts with durable
+    files but NO manifest evidence (a batch extract that crashed
+    pre-commit) get no token — callers must treat them as changed
+    every run, because nothing proves them stable."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return {}
+    rows = (
+        m.filter(F.col("table_name") == table_name)
+        .select("run_id", "part_id", "status", "committed_at")
+        .collect()
+    )
+    markers = {r["run_id"] for r in rows if r["status"] == BATCH_MARKER}
+    latest: dict[int, tuple] = {}
+    streamed: dict[int, set] = {}
+    for r in rows:
+        p = int(r["part_id"])
+        if r["status"] == "committed":
+            key = (r["committed_at"], r["run_id"])
+            if p not in latest or key > latest[p]:
+                latest[p] = key
+        elif r["status"] == "streamed" and r["run_id"] in markers:
+            streamed.setdefault(p, set()).add(r["run_id"])
+    out = {}
+    for p in set(latest) | set(streamed):
+        commit_run = latest.get(p, (None, ""))[1]
+        attempts = ",".join(sorted(streamed.get(p, ())))
+        out[p] = _token_hash(f"{commit_run}|{attempts}")
+    return out
+
+
+def latest_canon_state(spark: SparkSession, root: str) -> dict | None:
+    """The most recent canonicalize snapshot: ``{"run_id", "params",
+    "parts": {part_id: token_hash}}`` — or None if no canonicalize run
+    ever recorded one. One manifest read."""
+    path = manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return None
+    rows = (
+        m.filter(F.col("table_name") == CANON_STATE_TABLE)
+        .select("run_id", "part_id", "status", "rows_out", "committed_at")
+        .collect()
+    )
+    params = [r for r in rows if r["status"] == CANON_PARAMS]
+    if not params:
+        return None
+    winner = max(params, key=lambda r: (r["committed_at"], r["run_id"]))
+    run = winner["run_id"]
+    return {
+        "run_id": run,
+        "params": int(winner["rows_out"]),
+        "parts": {
+            int(r["part_id"]): int(r["rows_out"])
+            for r in rows
+            if r["status"] == CANON_COVERED and r["run_id"] == run
+        },
+    }
+
 
 def manifest_run_exists(
     spark: SparkSession, root: str, run_id: str, table_name: str
