@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import SparkSession
 
@@ -74,6 +75,33 @@ def main() -> None:
         "rows before its marker lands; keep it well above the "
         "stream's trigger interval (0 only when no stream is active)",
     )
+    ap.add_argument(
+        "--dedup-embeddings",
+        default=None,
+        metavar="PATH",
+        help="parquet of (vec_id, embedding array<float>): run trained "
+        "k-means-blocked embedding near-dup and write the pair list "
+        "to the embedding_pairs table under --out",
+    )
+    ap.add_argument(
+        "--fit-fraction",
+        type=float,
+        default=1.0,
+        help="k-means trains on this md5-gated deterministic sample "
+        "fraction (fit-on-sample / assign-on-corpus — the 100 TB IVF "
+        "recipe); 1.0 fits on everything",
+    )
+    ap.add_argument("--embedding-threshold", type=float, default=0.4)
+    ap.add_argument("--embedding-cells", type=int, default=8)
+    ap.add_argument(
+        "--compact-manifest",
+        action="store_true",
+        help="after the run, rewrite the append-only _manifest to its "
+        "latest-state rows in one file (Iceberg rewrite_manifests "
+        "emulation) — bounds the per-run driver collect and the "
+        "small-file count as run history grows; do not combine with "
+        "a concurrently active stream",
+    )
     args = ap.parse_args()
 
     from spinneret_spark import pipeline
@@ -116,6 +144,32 @@ def main() -> None:
             min_height=args.min_height,
             max_duration_ms=args.max_duration_ms,
         )
+    if args.dedup_embeddings:
+        from pyspark.sql import functions as F
+
+        from spinneret_spark.operators.dedup import (
+            blocked_embedding_near_dup_pairs,
+        )
+        from spinneret_spark.sinks import tables as sinks
+
+        pairs = blocked_embedding_near_dup_pairs(
+            spark.read.parquet(args.dedup_embeddings),
+            threshold=args.embedding_threshold,
+            k=args.embedding_cells,
+            fit_fraction=args.fit_fraction,
+        ).withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("id_a"), F.lit(args.buckets)).cast("int"),
+        )
+        sinks.write_partitioned(
+            pairs, args.out, "embedding_pairs", full_overwrite=True
+        )
+        n_pairs = (
+            spark.read.parquet(f"{args.out}/embedding_pairs").count()
+            if os.path.isdir(f"{args.out}/embedding_pairs")
+            else 0
+        )
+        stats["embedding_pairs"] = n_pairs
     if args.vacuum:
         from spinneret_spark.sinks import tables as sinks
 
@@ -128,6 +182,12 @@ def main() -> None:
                 grace_seconds=args.vacuum_grace_seconds,
             )
             for t in ("triples", "pages_text")
+        )
+    if args.compact_manifest:
+        from spinneret_spark.sinks import tables as sinks
+
+        stats["manifest_compaction"] = sinks.compact_manifest(
+            spark, args.out
         )
     print(json.dumps(stats))
     spark.stop()

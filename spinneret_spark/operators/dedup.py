@@ -615,3 +615,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def blocked_embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    iters: int = 5,
+    fit_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production embedding near-dup composition: trained k-means
+    blocking → within-cell cosine pairs — one call for the deployment
+    surface (``jobs/run_pipeline.py --dedup-embeddings``).
+
+    ``fit_fraction < 1`` is the 100 TB knob: Lloyd's iterations train
+    on a deterministic md5-gated sample (``similarity.kmeans_fit``),
+    while cell ASSIGNMENT still covers the whole corpus — the
+    fit-on-sample / assign-on-corpus recipe every large-scale IVF
+    build uses. The pair join stays an equi-join on ``cell_id``
+    (never cartesian) regardless of the fraction.
+
+    The assigned relation is materialized before the pair self-join:
+    assignment costs a corpus×k broadcast argmax plus a join back for
+    the vector payload, and the self-join would otherwise replay that
+    build once per side.
+    """
+    from spinneret_spark.materialize import materialize
+    from spinneret_spark.operators.similarity import assign_cells, kmeans_fit
+
+    centroids = kmeans_fit(
+        embeddings,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        fit_fraction=fit_fraction,
+    )
+    # assign_cells reduces to (id, cell_id); join the vector payload
+    # back on the id before the within-cell pair join
+    blocked = materialize(
+        assign_cells(
+            embeddings, centroids, id_col=id_col, vec_col=vec_col
+        ).join(embeddings, id_col)
+    )
+    return embedding_near_dup_pairs(
+        blocked,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell_id",
+    )

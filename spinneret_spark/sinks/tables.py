@@ -726,6 +726,145 @@ def read_durable_tagged(
     )
 
 
+def compact_manifest(spark: SparkSession, root: str) -> dict:
+    """Rewrite the append-only ``_manifest`` to its latest-state rows
+    in ONE parquet file — Iceberg's ``rewrite_manifests`` for this
+    emulation (round-4 VERDICT item 4).
+
+    The manifest grows one file per commit batch and one row per part
+    per run; every reader collects it whole, so after ~10³ runs at
+    ~10² parts the driver pays 10⁵-row collects and the directory
+    holds thousands of tiny files. Compaction keeps exactly the rows
+    any visibility decision can still depend on:
+
+    * per (table, part): the LATEST ``committed`` row — dynamic
+      overwrite makes earlier commits dead; ``committed_at``/run_id
+      are preserved so ``latest_run_only`` scoping and resume
+      see identical state;
+    * every ``BATCH_MARKER`` (the irreducible exactly-once ledger:
+      replay-skip, row-level tag filtering, streamed totals) and every
+      marker-valid ``streamed`` part row (per-part attribution for
+      state tokens);
+    * ``STREAM_INTENT`` rows only for attempts with NO marker — a
+      crashed attempt's orphan files still need evidence; a completed
+      attempt's intent is superseded by its marker;
+    * one ``BUCKETS_META`` row per (table, count);
+    * the LATEST canonicalize snapshot (params + covered rows) —
+      older snapshots are dead;
+    * any unrecognized status verbatim (forward compatibility).
+
+    Swap is two directory renames with a crash-recovery preamble
+    (restore a half-finished swap); on a cluster the same keep-set
+    feeds an Iceberg metadata swap / atomic rename on the object
+    store. Callers should not run compaction concurrently with a
+    live stream or phase (same single-writer assumption as vacuum).
+    Returns ``{"rows_before", "rows_after", "files_before",
+    "files_after"}``."""
+    import glob as _glob
+    import shutil as _shutil
+
+    path = manifest_path(root)
+    old = path + "__old"
+    # crash recovery from a previous interrupted swap
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)  # crashed between the two renames
+        else:
+            _shutil.rmtree(old)  # crashed before cleanup
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return {
+            "rows_before": 0,
+            "rows_after": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+    rows = m.collect()
+    files_before = len(_glob.glob(os.path.join(path, "*.parquet")))
+
+    known = {"committed", "streamed", BATCH_MARKER, STREAM_INTENT,
+             BUCKETS_META, CANON_PARAMS, CANON_COVERED}
+    markers_by_table: dict[str, set] = {}
+    for r in rows:
+        if r["status"] == BATCH_MARKER:
+            markers_by_table.setdefault(r["table_name"], set()).add(
+                r["run_id"]
+            )
+    latest_commit: dict[tuple, tuple] = {}
+    meta_seen: dict[tuple, tuple] = {}
+    keep = []
+    canon_rows = []
+    for r in rows:
+        key = None
+        st = r["status"]
+        if r["table_name"] == CANON_STATE_TABLE:
+            canon_rows.append(r)
+            continue
+        if st == "committed":
+            key = (r["table_name"], r["part_id"])
+            order = (r["committed_at"], r["run_id"])
+            if key not in latest_commit or order > latest_commit[key][0]:
+                latest_commit[key] = (order, r)
+            continue
+        if st == "streamed":
+            if r["run_id"] in markers_by_table.get(r["table_name"], ()):
+                keep.append(r)
+            continue
+        if st == BATCH_MARKER:
+            keep.append(r)
+            continue
+        if st == STREAM_INTENT:
+            if r["run_id"] not in markers_by_table.get(r["table_name"], ()):
+                keep.append(r)
+            continue
+        if st == BUCKETS_META:
+            mkey = (r["table_name"], r["part_id"])
+            if mkey not in meta_seen:
+                meta_seen[mkey] = r
+                keep.append(r)
+            continue
+        if st not in known:
+            keep.append(r)
+    keep.extend(r for _, r in latest_commit.values())
+    # latest canonicalize snapshot only
+    params = [r for r in canon_rows if r["status"] == CANON_PARAMS]
+    if params:
+        winner = max(params, key=lambda r: (r["committed_at"], r["run_id"]))
+        keep.extend(
+            r
+            for r in canon_rows
+            if r["run_id"] == winner["run_id"]
+            and r["status"] in (CANON_PARAMS, CANON_COVERED)
+        )
+
+    data = [
+        (
+            r["run_id"], r["table_name"], r["part_id"], r["status"],
+            r["rows_out"], r["committed_at"],
+        )
+        for r in keep
+    ]
+    tmp = path + "__compact_tmp"
+    if os.path.isdir(tmp):
+        _shutil.rmtree(tmp)
+    (
+        spark.createDataFrame(data, MANIFEST_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return {
+        "rows_before": len(rows),
+        "rows_after": len(data),
+        "files_before": files_before,
+        "files_after": len(_glob.glob(os.path.join(path, "*.parquet"))),
+    }
+
+
 def _manifest_rows(spark: SparkSession, root: str, table_name: str) -> list:
     """All manifest rows for a table, ONE driver round-trip. The
     manifest is small (one row per part per run) — every visibility

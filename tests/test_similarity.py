@@ -284,3 +284,32 @@ def test_rerank_candidates_max_by_and_tiebreak(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert not re.findall(r"\bWindow \[", plan)
+
+
+def test_blocked_composition_deployment_surface(spark, emb):
+    """dedup.blocked_embedding_near_dup_pairs (the --dedup-embeddings
+    CLI path): fit→assign→within-cell pairs in one call. Pairs must be
+    a nonempty subset of brute force, the plan cartesian-free, and the
+    sampled fit (--fit-fraction) deterministic."""
+    from spinneret_spark.operators.dedup import (
+        blocked_embedding_near_dup_pairs,
+    )
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    for frac in (1.0, 0.5):
+        pairs = blocked_embedding_near_dup_pairs(
+            emb, threshold=0.4, k=K, iters=ITERS, fit_fraction=frac
+        )
+        assert not has_cartesian(pairs)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got and got <= full, f"fit_fraction={frac}"
+        again = {
+            (r["id_a"], r["id_b"])
+            for r in blocked_embedding_near_dup_pairs(
+                emb, threshold=0.4, k=K, iters=ITERS, fit_fraction=frac
+            ).collect()
+        }
+        assert got == again  # pure function of the data
