@@ -538,7 +538,14 @@ def run_canonicalize_phase(
       edges (a new doc can bridge two old components, so CC is always
       global — it is cheap: edges are the small relation);
     * rewrites entities/triples_canonical as before (static
-      overwrite; the rewrite is one hash join, no Python).
+      overwrite; the rewrite is one hash join, no Python);
+    * with ZERO changed parts, short-circuits entirely: the snapshot
+      (appended only after all outputs land) certifies the outputs,
+      so the run reduces to one manifest read plus parquet
+      footer-count integrity checks on the three output tables —
+      a count/manifest mismatch (e.g. a previously crashed
+      zero-change overwrite) falls through to the normal path,
+      which rebuilds from the persisted signatures.
 
     Output equals the from-scratch run whenever the LSH bucket cap
     never binds (the cap drops candidates per-bucket, so a bucket
@@ -586,6 +593,50 @@ def run_canonicalize_phase(
     else:
         unchanged = []
     delta_parts = sorted(parts_on_disk - set(unchanged))
+
+    if delta_ok and not delta_parts:
+        # Zero-change short-circuit: no part's state token moved since
+        # the snapshot, so every downstream relation (signatures →
+        # candidates → edges → components → entities → canonical
+        # triples) is provably identical to the previous completed run
+        # — the snapshot row is appended only after all outputs land,
+        # so its presence certifies them, and every triples mutation in
+        # this codebase accompanies a pages_text mutation of the same
+        # part (extract and the streaming skins commit both), so the
+        # pages_text tokens cover the triples input too. Verify output
+        # integrity before trusting it (a LATER zero-change run may
+        # have crashed mid-overwrite, leaving identical-content but
+        # incomplete tables): parquet counts are footer-metadata
+        # reads, far cheaper than re-banding + CC + the triple
+        # rewrite. On mismatch fall through — the normal path re-derives
+        # everything from the persisted signatures and self-heals.
+        out_tables = ["edges", "entities", "triples_canonical"]
+        summ = sinks.manifest_summary(spark, out_root, out_tables)
+        counts = {}
+        intact = True
+        for tbl in out_tables:
+            expected = summ[tbl]["committed_total"] or 0
+            actual = (
+                sinks.read_table(spark, out_root, tbl).count()
+                if _partition_ids(out_root, tbl)
+                else 0
+            )
+            counts[tbl] = actual
+            if actual != expected:
+                intact = False
+                break
+        if intact:
+            return {
+                "run_id": run_id,
+                "n_entities": counts["entities"],
+                "n_edges": counts["edges"],
+                "n_canonical_triples": counts["triples_canonical"],
+                "parts_total": len(parts_on_disk),
+                "parts_reshingled": 0,
+                "delta": True,
+                "short_circuit": True,
+                "seconds": time.time() - t0,
+            }
 
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while

@@ -136,3 +136,66 @@ def test_parameter_change_falls_back_to_full(spark, tmp_path_factory):
     )
     assert s3["delta"] is False
     assert s3["parts_reshingled"] == s3["parts_total"]
+
+
+def _output_files(root):
+    import glob
+    import os
+
+    return {
+        tbl: sorted(
+            glob.glob(os.path.join(root, tbl, "part_id=*", "*.parquet"))
+        )
+        for tbl in ("edges", "entities", "triples_canonical")
+    }
+
+
+def test_zero_change_short_circuit_skips_rewrite(spark, tmp_path_factory):
+    """A rerun with zero changed parts must not touch the output
+    tables at all — manifest + footer-count reads only (the
+    zero-change floor was ~19 s at 400k before this)."""
+    root = str(tmp_path_factory.mktemp("canon_sc"))
+    pages = generate_pages(
+        spark, 200, near_dup_fraction=0.3, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=BUCKETS)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+    files_before = _output_files(root)
+
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert s2.get("short_circuit") is True
+    assert s2["delta"] is True and s2["parts_reshingled"] == 0
+    assert (s2["n_entities"], s2["n_edges"], s2["n_canonical_triples"]) == (
+        s1["n_entities"], s1["n_edges"], s1["n_canonical_triples"]
+    )
+    # a rewrite would produce fresh part-file names; identical listings
+    # prove the tables were never written
+    assert _output_files(root) == files_before
+
+
+def test_short_circuit_integrity_guard_self_heals(spark, tmp_path_factory):
+    """A previously crashed zero-change overwrite (simulated by a
+    missing output part file) must NOT be certified by the
+    short-circuit: the count-vs-manifest check fails and the normal
+    path rebuilds the outputs from persisted signatures."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("canon_heal"))
+    pages = generate_pages(
+        spark, 200, near_dup_fraction=0.3, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=BUCKETS)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+
+    victim = _output_files(root)["entities"][0]
+    os.remove(victim)
+
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert "short_circuit" not in s2
+    assert s2["delta"] is True and s2["parts_reshingled"] == 0
+    assert (s2["n_entities"], s2["n_edges"], s2["n_canonical_triples"]) == (
+        s1["n_entities"], s1["n_edges"], s1["n_canonical_triples"]
+    )
+    # healed: a fresh rerun may short-circuit again
+    s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=BUCKETS)
+    assert s3.get("short_circuit") is True
