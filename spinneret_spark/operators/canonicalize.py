@@ -189,13 +189,19 @@ def entity_table(
     )
 
 
-def rewrite_triples(
+def rewrite_triples_raw(
     triples: DataFrame,
     assignment: DataFrame,
     subj_prefix: str = "doc://",
     id_col: str = "doc_id",
+    src_col: str = "src_id",
 ) -> DataFrame:
-    """Re-key triple subjects to canonical entities and merge dups.
+    """Re-key triple subjects to canonical entities WITHOUT the merge:
+    one output row per input row, carrying the pre-rewrite subject
+    under ``src_col``. This is the provenance relation incremental
+    view maintenance needs — removing a changed document's
+    contribution from a merged output is only possible while each
+    row still names its source.
 
     The assignment table is corpus-cardinality but narrow (two ids);
     broadcast when it fits, else it's one equi-join shuffle on subj.
@@ -208,6 +214,7 @@ def rewrite_triples(
     )
     out = (
         triples.join(canon, "subj", "left")
+        .withColumn(src_col, F.col("subj"))
         .withColumn("subj", F.coalesce("canonical_subj", F.col("subj")))
         .drop("canonical_subj")
     )
@@ -219,4 +226,41 @@ def rewrite_triples(
         out = out.withColumn(
             "det_id", _det_id(F.col("subj"), F.col("pred_id"), F.col("obj_id"))
         )
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    return out
+
+
+def dedup_canonical_triples(
+    raw: DataFrame, src_col: str = "src_id"
+) -> DataFrame:
+    """Merge duplicate (subj, pred, obj) rows with a DETERMINISTIC
+    survivor: the lexicographic minimum over the remaining columns
+    (``dropDuplicates`` keeps an arbitrary row, so a column that
+    varies across merged sources — e.g. ``lang`` — would differ run
+    to run, and an incremental rewrite could never be proven equal to
+    the from-scratch one). One hash aggregation, map-side partial.
+    """
+    keys = ["subj", "pred", "obj"]
+    rest = [c for c in raw.columns if c not in keys and c != src_col]
+    if not rest:
+        return raw.drop(src_col).dropDuplicates(keys)
+    packed = raw.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in rest])).alias("_survivor")
+    )
+    return packed.select(
+        *keys, *[F.col(f"_survivor.{c}").alias(c) for c in rest]
+    ).select(*[c for c in raw.columns if c != src_col])
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    assignment: DataFrame,
+    subj_prefix: str = "doc://",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Re-key triple subjects to canonical entities and merge dups
+    (deterministic survivor — see :func:`dedup_canonical_triples`)."""
+    return dedup_canonical_triples(
+        rewrite_triples_raw(
+            triples, assignment, subj_prefix=subj_prefix, id_col=id_col
+        )
+    )

@@ -24,6 +24,7 @@ overwrites.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from collections.abc import Iterator
 
@@ -36,9 +37,11 @@ from spinneret_spark.functions.hashing import det_id
 from spinneret_spark.materialize import materialize
 from spinneret_spark.operators.canonicalize import (
     canonical_entities,
+    dedup_canonical_triples,
     entity_table,
     near_dup_edges,
     rewrite_triples,
+    rewrite_triples_raw,
     verify_candidate_pairs,
 )
 from spinneret_spark.operators.linking import MENTIONS_PRED, MENTIONS_PRED_LABEL
@@ -513,6 +516,7 @@ def run_canonicalize_phase(
     jaccard_threshold: float = 0.8,
     buckets: int = DEFAULT_BUCKETS,
     incremental: bool = True,
+    provenance: bool = True,
 ) -> dict:
     """Whole-corpus phase: near-dup edges → entities → canonical
     triples. Reads the materialized ``pages_text`` table (written by
@@ -537,8 +541,23 @@ def run_canonicalize_phase(
     * re-runs connected components over prior-kept ∪ newly-verified
       edges (a new doc can bridge two old components, so CC is always
       global — it is cheap: edges are the small relation);
-    * rewrites entities/triples_canonical as before (static
-      overwrite; the rewrite is one hash join, no Python);
+    * rewrites entities/edges wholesale (they are the SMALL
+      relations); for corpus-sized ``triples_canonical`` it maintains
+      provenance state — ``canon_triples_raw`` (one row per source
+      triple, partitioned by canonical hash), ``canon_assignment``
+      (doc → canonical), ``canon_doc_hash`` (doc → text hash, pruned
+      by source part) plus per-part assignment hashes in the manifest
+      — and, when the set of DOC-granular changes (content hash
+      moved, assignment moved, doc appeared/vanished) maps to at most
+      half the canonical partitions, rewrites only those partitions
+      via incremental view maintenance (src_id anti-join removes the
+      changed docs' old contributions; the dedup survivor is
+      deterministic, so untouched partitions stay byte-identical).
+      Outside that win region — changed docs scatter over every hash
+      partition — it falls back to the one narrow join + full write,
+      which is the irreducible cost of emitting a corpus-sized
+      output (measured: the partition path LOSES there,
+      BENCH/BASELINE.md);
     * with ZERO changed parts, short-circuits entirely: the snapshot
       (appended only after all outputs land) certifies the outputs,
       so the run reduces to one manifest read plus parquet
@@ -546,6 +565,13 @@ def run_canonicalize_phase(
       a count/manifest mismatch (e.g. a previously crashed
       zero-change overwrite) falls through to the normal path,
       which rebuilds from the persisted signatures.
+
+    ``provenance=False`` skips maintaining the triple-rewrite
+    provenance state entirely (measured ~20% cheaper full rewrites at
+    400k) at the price of disabling the partition-granular rewrite on
+    later runs until a ``provenance=True`` run refreshes it — the
+    right trade for bulk-batch-only deployments; signature reuse and
+    the zero-change short-circuit are unaffected.
 
     Output equals the from-scratch run whenever the LSH bucket cap
     never binds (the cap drops candidates per-bucket, so a bucket
@@ -743,20 +769,58 @@ def run_canonicalize_phase(
 
     # a corpus where NO page yields a mention has no triples table on
     # disk (same no-files-no-schema hazard); entities/edges still exist
-    canon = None
-    if _partition_ids(out_root, "triples"):
-        triples = sinks.read_committed(
-            spark, out_root, "triples", statuses=("committed", "streamed")
-        )
-        canon = rewrite_triples(
-            triples,
-            assignment.select(F.col("doc_id"), F.col("canonical_id")),
-            subj_prefix="",
-            id_col="doc_id",
-        )
+    have_triples = bool(_partition_ids(out_root, "triples"))
+
+    # Per-part entity-assignment hashes: the change signal for the
+    # incremental triple rewrite. bit_xor keeps the fold order-
+    # independent and overflow-free (doc_id is unique, so no even-
+    # multiplicity cancellation); one narrow aggregation, no join.
+    assignment_sel = assignment.select("doc_id", "canonical_id")
+    assign_hashes: dict[int, int] = {}
+    if provenance:
+        assign_hashes = {
+            int(r["part_id"]): int(r["h"])
+            for r in assignment_sel.groupBy(
+                _part_of("doc_id").alias("part_id")
+            )
+            .agg(
+                F.bit_xor(
+                    F.xxhash64(F.concat_ws("#", "doc_id", "canonical_id"))
+                ).alias("h")
+            )
+            .collect()
+        }
+    old_assign_hashes = dict(snap.get("assign", {})) if delta_ok else {}
+    changed_assign_parts = sorted(
+        p
+        for p in set(assign_hashes) | set(old_assign_hashes)
+        if assign_hashes.get(p) != old_assign_hashes.get(p)
+    )
+    affected_src = sorted(
+        set(changed_assign_parts) | {int(p) for p in delta_parts}
+    )
+    # Incremental triple rewrite is sound iff: the delta machinery is
+    # valid, the previous snapshot recorded assignment hashes (pre-
+    # upgrade snapshots did not), the provenance tables exist, and
+    # some source part is provably untouched (content token AND
+    # assignment hash unchanged ⇒ its contribution to every canonical
+    # partition is byte-identical — dedup survivors are deterministic).
+    triples_delta = (
+        provenance
+        and delta_ok
+        and bool(unchanged)
+        and bool(old_assign_hashes)
+        and have_triples
+        and bool(_partition_ids(out_root, "canon_triples_raw"))
+        and bool(_partition_ids(out_root, "canon_assignment"))
+        and bool(_partition_ids(out_root, "canon_doc_hash"))
+        and len(affected_src) < len(parts_on_disk)
+    )
 
     # whole-corpus tables: STATIC overwrite — recomputed per run, so
-    # earlier runs' partitions must be replaced wholesale
+    # earlier runs' partitions must be replaced wholesale (edges and
+    # entities are the SMALL relations; triples_canonical is corpus-
+    # sized and gets the incremental path below)
     edges_out = edges.withColumn(
         "part_id", F.pmod(F.xxhash64("id_a"), F.lit(buckets)).cast("int")
     )
@@ -767,17 +831,227 @@ def run_canonicalize_phase(
         "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
     )
     sinks.write_partitioned(ents, out_root, "entities", full_overwrite=True)
-    if canon is not None:
-        canon_out = canon.withColumn(
-            "part_id", F.pmod(F.xxhash64("subj"), F.lit(buckets)).cast("int")
+
+    # canonical triples: full rewrite persists the provenance relation
+    # (canon_triples_raw: one row per SOURCE triple, partitioned by
+    # the canonical subject's hash) so later runs can do incremental
+    # view maintenance; the delta path rewrites only canonical
+    # partitions some changed document contributes to (old home, new
+    # home, or new triples) — everything else is untouched on disk.
+    canon_written_parts: list[int] | None = None  # None → all (full)
+    emptied_parts: list[int] = []
+    if have_triples:
+        triples = sinks.read_committed(
+            spark, out_root, "triples", statuses=("committed", "streamed")
         )
-        sinks.write_partitioned(
-            canon_out, out_root, "triples_canonical", full_overwrite=True
-        )
+        out_parts: list[int] | None = None
+        changed = None
+        if triples_delta:
+            aff = [int(p) for p in affected_src]
+            delta_set = [int(p) for p in delta_parts]
+            old_assign = (
+                sinks.read_table(spark, out_root, "canon_assignment")
+                .where(F.col("part_id").isin(aff))
+                .select(
+                    "doc_id", F.col("canonical_id").alias("old_canonical")
+                )
+            )
+            new_aff = assignment_sel.where(_part_of("doc_id").isin(aff))
+            # DOC-granular content change detection: a token covers a
+            # whole part, but an append micro-batch leaves most of the
+            # part's docs byte-identical — treating them all as
+            # changed would scatter the rewrite over every canonical
+            # partition (part sizes exceed the bucket count at any
+            # real scale). The persisted per-doc text-hash relation
+            # (canon_doc_hash, pruned to the changed parts, narrow)
+            # pins down exactly which docs' triples can differ.
+            old_doc_h = (
+                sinks.read_table(spark, out_root, "canon_doc_hash")
+                .where(F.col("part_id").isin(delta_set))
+                .select("doc_id", F.col("h").alias("old_h"))
+            )
+            new_doc_h = docs_delta.select(
+                "doc_id", F.xxhash64("text").alias("h")
+            )
+            content_changed = (
+                new_doc_h.join(old_doc_h, "doc_id", "full_outer")
+                .where(
+                    F.col("old_h").isNull()
+                    | F.col("h").isNull()
+                    | (F.col("old_h") != F.col("h"))
+                )
+                .select("doc_id", F.lit(True).alias("_cc"))
+            )
+            # changed docs: assignment moved, doc appeared/vanished,
+            # or content changed (triples may differ)
+            changed = materialize(
+                new_aff.join(old_assign, "doc_id", "full_outer")
+                .join(content_changed, "doc_id", "left")
+                .where(
+                    F.col("old_canonical").isNull()
+                    | F.col("canonical_id").isNull()
+                    | (F.col("old_canonical") != F.col("canonical_id"))
+                    | F.col("_cc")
+                )
+                .drop("_cc")
+            )
+            out_parts = sorted(
+                int(r["p"])
+                for r in changed.select(
+                    F.explode(
+                        F.array_compact(
+                            F.array(
+                                _part_of("canonical_id"),
+                                _part_of("old_canonical"),
+                            )
+                        )
+                    ).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+            # GATE (measured at 400k, BENCH/BASELINE.md): canonical
+            # homes are hash-distributed, so any increment with more
+            # changed docs than ~half the bucket count scatters over
+            # every output partition — "incremental" then rewrites all
+            # the same bytes PLUS the anti-join/union overhead (41.3 s
+            # vs 34.7 s for the plain join at +10%). Partition-granular
+            # maintenance only pays in its win region: few changed
+            # docs relative to buckets (targeted re-crawls, single
+            # micro-batches). Outside it, fall through to the one
+            # narrow join + write — the irreducible cost of emitting a
+            # corpus-sized output.
+            if len(out_parts) > len(parts_on_disk) // 2:
+                out_parts = None
+        if triples_delta and out_parts is not None:
+            if out_parts:
+                tri_changed = triples.where(
+                    F.col("part_id").isin(aff)
+                ).join(
+                    changed.select(F.col("doc_id").alias("subj")),
+                    "subj",
+                    "left_semi",
+                )
+                remapped = rewrite_triples_raw(
+                    tri_changed, assignment_sel, subj_prefix="", id_col="doc_id"
+                ).withColumn("part_id", _part_of("subj"))
+                old_raw = sinks.read_table(
+                    spark, out_root, "canon_triples_raw"
+                ).where(F.col("part_id").isin(out_parts))
+                kept_raw = old_raw.join(
+                    changed.select(F.col("doc_id").alias("src_id")),
+                    "src_id",
+                    "left_anti",
+                )
+                # anti-join on src_id makes the overwrite idempotent:
+                # a crashed delta run's already-remapped rows are
+                # removed and re-added identically on replay
+                new_raw = materialize(
+                    kept_raw.unionByName(remapped.select(*kept_raw.columns))
+                )
+                # dynamic overwrite only replaces partitions PRESENT in
+                # the written frame — a partition whose every subject
+                # merged into entities hashed elsewhere ends up with
+                # zero rows and must be cleared explicitly, else its
+                # stale rows survive (and stale RAW rows would corrupt
+                # every future delta)
+                present = {
+                    int(r["part_id"])
+                    for r in new_raw.select("part_id").distinct().collect()
+                }
+                emptied_parts = sorted(set(out_parts) - present)
+                sinks.write_partitioned(
+                    new_raw, out_root, "canon_triples_raw",
+                    full_overwrite=False,
+                )
+                sinks.write_partitioned(
+                    dedup_canonical_triples(new_raw),
+                    out_root,
+                    "triples_canonical",
+                    full_overwrite=False,
+                )
+                for p in emptied_parts:
+                    for tbl in ("canon_triples_raw", "triples_canonical"):
+                        d = os.path.join(out_root, tbl, f"part_id={p}")
+                        if os.path.isdir(d):
+                            shutil.rmtree(d)
+            canon_written_parts = out_parts
+        elif provenance:
+            # full rewrite (first run, invalidated snapshot, or the
+            # scatter gate above): one narrow join, then dedup from the
+            # just-written provenance parquet — one compute of the
+            # rewrite join instead of two (write + dedup consumers)
+            raw = rewrite_triples_raw(
+                triples, assignment_sel, subj_prefix="", id_col="doc_id"
+            ).withColumn("part_id", _part_of("subj"))
+            sinks.write_partitioned(
+                raw, out_root, "canon_triples_raw", full_overwrite=True
+            )
+            canon_out = dedup_canonical_triples(
+                sinks.read_table(spark, out_root, "canon_triples_raw")
+            )
+            sinks.write_partitioned(
+                canon_out, out_root, "triples_canonical", full_overwrite=True
+            )
+        else:
+            # provenance disabled: the plain single-join rewrite; any
+            # previously-persisted provenance goes stale, and the
+            # snapshot below carries no assignment hashes, so later
+            # delta runs correctly refuse the partition-granular path
+            canon_out = rewrite_triples(
+                triples, assignment_sel, subj_prefix="", id_col="doc_id"
+            ).withColumn("part_id", _part_of("subj"))
+            sinks.write_partitioned(
+                canon_out, out_root, "triples_canonical", full_overwrite=True
+            )
+
+        if provenance:
+            # persist the assignment for the NEXT run's diff —
+            # wholesale on the full-rewrite path, affected parts only
+            # on the partition-granular path
+            assign_out = assignment_sel.withColumn(
+                "part_id", _part_of("doc_id")
+            )
+            if canon_written_parts is not None:
+                assign_out = assign_out.where(
+                    F.col("part_id").isin([int(p) for p in affected_src])
+                )
+            sinks.write_partitioned(
+                assign_out, out_root, "canon_assignment",
+                full_overwrite=canon_written_parts is None,
+            )
+            # per-doc text hashes for the NEXT run's doc-granular
+            # content diff — narrow (two longs + id), pruned by part
+            if canon_written_parts is not None:
+                doc_h_out = new_doc_h.withColumn(
+                    "part_id", _part_of("doc_id")
+                )
+            else:
+                doc_h_out = docs.select(
+                    "doc_id", F.xxhash64("text").alias("h")
+                ).withColumn("part_id", _part_of("doc_id"))
+            sinks.write_partitioned(
+                doc_h_out, out_root, "canon_doc_hash",
+                full_overwrite=canon_written_parts is None,
+            )
 
     # commit accounting: ONE job over the three just-written tables
     # (tagged union) + ONE manifest write — vs 3+3 serial driver
-    # round-trips, which at small per-table sizes are pure fixed cost
+    # round-trips, which at small per-table sizes are pure fixed cost.
+    # On the incremental-rewrite path triples_canonical counts only
+    # the REWRITTEN partitions (partition-pruned read): untouched
+    # parts keep their prior manifest rows, and latest-per-part wins.
+    prior_triple_counts: dict[int, int] = {}
+    if canon_written_parts is not None:
+        latest: dict[int, tuple] = {}
+        for m in sinks._manifest_rows(spark, out_root, "triples_canonical"):
+            if m["status"] != "committed":
+                continue
+            key = (m["committed_at"], m["run_id"])
+            p = int(m["part_id"])
+            if p not in latest or key > latest[p][0]:
+                latest[p] = (key, int(m["rows_out"]))
+        prior_triple_counts = {p: n for p, (_, n) in latest.items()}
     stats = None
     for tbl in ["edges", "entities", "triples_canonical"]:
         if not _partition_ids(out_root, tbl):
@@ -787,9 +1061,13 @@ def run_canonicalize_phase(
             # commit — the directory listing IS the emptiness check,
             # same as the extract phase's guard
             continue
+        t = sinks.read_table(spark, out_root, tbl)
+        if tbl == "triples_canonical" and canon_written_parts is not None:
+            if not canon_written_parts:
+                continue  # delta run touched no canonical partition
+            t = t.where(F.col("part_id").isin(canon_written_parts))
         g = (
-            sinks.read_table(spark, out_root, tbl)
-            .groupBy("part_id")
+            t.groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit(tbl).alias("tbl"), "part_id", "n")
         )
@@ -802,6 +1080,12 @@ def run_canonicalize_phase(
     # manifest evidence get a token; evidence-less parts stay
     # "changed" until an extract commit proves them stable.
     manifest_rows = [(r["tbl"], r["part_id"], r["n"]) for r in rows]
+    # partitions the incremental rewrite emptied get an explicit 0-row
+    # commit: latest-per-part totals and the zero-change integrity
+    # check must both see them as legitimately empty, not stale
+    manifest_rows.extend(
+        ("triples_canonical", p, 0) for p in emptied_parts
+    )
     manifest_rows.append(
         (sinks.CANON_STATE_TABLE, -1, params_hash, sinks.CANON_PARAMS)
     )
@@ -809,6 +1093,10 @@ def run_canonicalize_phase(
         (sinks.CANON_STATE_TABLE, p, tok, sinks.CANON_COVERED)
         for p, tok in tokens_now.items()
         if p in parts_on_disk
+    )
+    manifest_rows.extend(
+        (sinks.CANON_STATE_TABLE, p, h, sinks.CANON_ASSIGN)
+        for p, h in assign_hashes.items()
     )
     sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
     if rows:
@@ -840,6 +1128,14 @@ def run_canonicalize_phase(
     n_edges = counts["edges"]
     n_entities = counts["entities"]
     n_triples = counts["triples_canonical"]
+    if canon_written_parts is not None:
+        # total = freshly counted rewritten parts + prior latest
+        # commits for every untouched partition
+        n_triples += sum(
+            n
+            for p, n in prior_triple_counts.items()
+            if p not in set(canon_written_parts)
+        )
     return {
         "run_id": run_id,
         "n_entities": n_entities,
@@ -848,6 +1144,11 @@ def run_canonicalize_phase(
         "parts_total": len(parts_on_disk),
         "parts_reshingled": len(delta_parts),
         "delta": bool(delta_ok),
+        "triples_parts_rewritten": (
+            len(canon_written_parts)
+            if canon_written_parts is not None
+            else None
+        ),
         "seconds": time.time() - t0,
     }
 
@@ -1215,6 +1516,7 @@ def run(
     canonicalize: bool = True,
     terms: list[str] | None = None,
     jaccard_threshold: float = 0.8,
+    canon_provenance: bool = True,
 ) -> dict:
     stats = run_extract_phase(spark, pages, out_root, run_id, buckets, terms)
     if canonicalize:
@@ -1224,5 +1526,6 @@ def run(
             run_id,
             jaccard_threshold=jaccard_threshold,
             buckets=buckets,
+            provenance=canon_provenance,
         )
     return stats

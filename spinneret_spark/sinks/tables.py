@@ -241,6 +241,16 @@ CANON_COVERED = "canon_covered"
 #: run falls back to the full recompute.
 CANON_PARAMS = "canon_params"
 
+#: status of a per-part entity-ASSIGNMENT hash row: ``part_id`` is the
+#: doc-hash part, ``rows_out`` carries bit_xor(xxhash64(doc#canonical))
+#: over that part's docs at snapshot time. A changed hash means some
+#: doc in the part moved to a different canonical entity (a component
+#: merged or split), so the canonical-triple partitions its docs
+#: contribute to must be rewritten; unchanged hash + unchanged content
+#: token ⇒ the part's contribution to ``triples_canonical`` is
+#: byte-identical and can be skipped by the incremental rewrite.
+CANON_ASSIGN = "canon_assign"
+
 
 def _token_hash(s: str) -> int:
     """Deterministic 63-bit int of a token string (Python ``hash`` is
@@ -324,6 +334,13 @@ def latest_canon_state(spark: SparkSession, root: str) -> dict | None:
             int(r["part_id"]): int(r["rows_out"])
             for r in rows
             if r["status"] == CANON_COVERED and r["run_id"] == run
+        },
+        # empty on pre-CANON_ASSIGN snapshots — callers treat that as
+        # "assignment state unknown" and fall back to the full rewrite
+        "assign": {
+            int(r["part_id"]): int(r["rows_out"])
+            for r in rows
+            if r["status"] == CANON_ASSIGN and r["run_id"] == run
         },
     }
 
@@ -784,7 +801,7 @@ def compact_manifest(spark: SparkSession, root: str) -> dict:
     files_before = len(_glob.glob(os.path.join(path, "*.parquet")))
 
     known = {"committed", "streamed", BATCH_MARKER, STREAM_INTENT,
-             BUCKETS_META, CANON_PARAMS, CANON_COVERED}
+             BUCKETS_META, CANON_PARAMS, CANON_COVERED, CANON_ASSIGN}
     markers_by_table: dict[str, set] = {}
     for r in rows:
         if r["status"] == BATCH_MARKER:
@@ -835,7 +852,7 @@ def compact_manifest(spark: SparkSession, root: str) -> dict:
             r
             for r in canon_rows
             if r["run_id"] == winner["run_id"]
-            and r["status"] in (CANON_PARAMS, CANON_COVERED)
+            and r["status"] in (CANON_PARAMS, CANON_COVERED, CANON_ASSIGN)
         )
 
     data = [
@@ -877,7 +894,7 @@ def _manifest_rows(spark: SparkSession, root: str, table_name: str) -> list:
         return []
     return (
         m.filter(F.col("table_name") == table_name)
-        .select("run_id", "part_id", "status", "committed_at")
+        .select("run_id", "part_id", "status", "rows_out", "committed_at")
         .collect()
     )
 

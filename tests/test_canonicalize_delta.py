@@ -199,3 +199,152 @@ def test_short_circuit_integrity_guard_self_heals(spark, tmp_path_factory):
     # healed: a fresh rerun may short-circuit again
     s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=BUCKETS)
     assert s3.get("short_circuit") is True
+
+
+def _canon_part_files(root):
+    import glob
+    import os
+
+    out = {}
+    for d in glob.glob(os.path.join(root, "triples_canonical", "part_id=*")):
+        p = int(d.rsplit("=", 1)[1])
+        out[p] = sorted(os.listdir(d))
+    return out
+
+
+def test_delta_triple_rewrite_touches_only_affected_canonical_parts(
+    spark, tmp_path_factory
+):
+    """The incremental rewrite must leave every canonical partition no
+    changed document contributes to physically untouched — at 100 TB
+    the canonical triple table is corpus-sized and rewriting it
+    wholesale per run was the last O(corpus) stage of a delta run."""
+    # partition-granular maintenance is gated to its win region:
+    # changed docs must cover at most half the hash partitions, so the
+    # increment here is a handful of pages against a wide bucket count
+    B = 32
+    root = str(tmp_path_factory.mktemp("canon_tparts"))
+    pages = generate_pages(
+        spark, 300, near_dup_fraction=0.25, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=B)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=B)
+    assert s1["triples_parts_rewritten"] is None  # full path
+    files_before = _canon_part_files(root)
+
+    new_pages = generate_pages(
+        spark, 304, near_dup_fraction=0.25, include_reference_eml=False
+    ).where(F.col("page_id") >= 300)
+    process_micro_batch(new_pages, 0, root, "s1", buckets=B)
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=B)
+    assert s2["delta"] is True
+    assert s2["triples_parts_rewritten"] is not None
+
+    files_after = _canon_part_files(root)
+    touched = {
+        p
+        for p in set(files_before) | set(files_after)
+        if files_before.get(p) != files_after.get(p)
+    }
+    assert len(touched) == s2["triples_parts_rewritten"]
+    untouched = set(files_before) - touched
+    assert untouched, "every canonical partition was rewritten"
+
+    # reported total must equal the real on-disk total
+    assert (
+        sinks.read_table(spark, root, "triples_canonical").count()
+        == s2["n_canonical_triples"]
+    )
+
+
+def test_delta_triple_rewrite_crash_is_idempotent(spark, tmp_path_factory):
+    """A delta run crashing between the provenance (canon_triples_raw)
+    overwrite and the canonical-triple overwrite must be fully healed
+    by the rerun: the src_id anti-join removes the crashed run's
+    already-remapped rows before re-adding them."""
+    B = 32
+    root = str(tmp_path_factory.mktemp("canon_crash"))
+    pages = generate_pages(
+        spark, 300, near_dup_fraction=0.25, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=B)
+    pipeline.run_canonicalize_phase(spark, root, "c1", buckets=B)
+    new_pages = generate_pages(
+        spark, 304, near_dup_fraction=0.25, include_reference_eml=False
+    ).where(F.col("page_id") >= 300)
+    process_micro_batch(new_pages, 0, root, "s1", buckets=B)
+
+    real = sinks.write_partitioned
+    state = {"armed": True}
+
+    def crashing(df, r, table_name, **kw):
+        if (
+            state["armed"]
+            and table_name == "triples_canonical"
+            and not kw.get("full_overwrite", False)
+        ):
+            # raw is already overwritten at this point in the phase
+            raise RuntimeError("crash between raw and canonical write")
+        return real(df, r, table_name, **kw)
+
+    import pytest as _pytest
+
+    pipeline.sinks.write_partitioned = crashing
+    try:
+        with _pytest.raises(RuntimeError):
+            pipeline.run_canonicalize_phase(spark, root, "c2", buckets=B)
+    finally:
+        pipeline.sinks.write_partitioned = real
+        state["armed"] = False
+
+    s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=B)
+    assert s3["delta"] is True and s3["triples_parts_rewritten"] is not None
+    got = _table_snapshot(spark, root)
+    s4 = pipeline.run_canonicalize_phase(
+        spark, root, "c4", buckets=B, incremental=False
+    )
+    assert _table_snapshot(spark, root) == got
+    assert (s3["n_entities"], s3["n_edges"], s3["n_canonical_triples"]) == (
+        s4["n_entities"], s4["n_edges"], s4["n_canonical_triples"]
+    )
+
+
+def test_provenance_off_skips_state_and_disables_ivm(
+    spark, tmp_path_factory
+):
+    """provenance=False (bulk-batch deployments): no provenance tables
+    or assignment hashes are written, later delta runs refuse the
+    partition-granular rewrite until a provenance run refreshes the
+    state — while signature reuse and the zero-change short-circuit
+    keep working."""
+    root = str(tmp_path_factory.mktemp("canon_noprov"))
+    pages = generate_pages(
+        spark, 150, near_dup_fraction=0.25, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=8)
+    s1 = pipeline.run_canonicalize_phase(
+        spark, root, "c1", buckets=8, provenance=False
+    )
+    assert s1["delta"] is False
+    assert not pipeline._partition_ids(root, "canon_triples_raw")
+    assert not pipeline._partition_ids(root, "canon_assignment")
+    assert not pipeline._partition_ids(root, "canon_doc_hash")
+    assert sinks.latest_canon_state(spark, root)["assign"] == {}
+
+    s2 = pipeline.run_canonicalize_phase(
+        spark, root, "c2", buckets=8, provenance=False
+    )
+    assert s2.get("short_circuit") is True
+
+    extra = generate_pages(
+        spark, 155, near_dup_fraction=0.25, include_reference_eml=False
+    ).where(F.col("page_id") >= 150)
+    process_micro_batch(extra, 0, root, "s1", buckets=8)
+    # delta re-shingle engages; the triple rewrite is full (no prior
+    # provenance), and THIS provenance run lays down the state
+    s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=8)
+    assert s3["delta"] is True
+    assert 0 < s3["parts_reshingled"] < s3["parts_total"]
+    assert s3["triples_parts_rewritten"] is None
+    assert pipeline._partition_ids(root, "canon_triples_raw")
+    assert sinks.latest_canon_state(spark, root)["assign"]

@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--target-parts", type=int, default=6)
     ap.add_argument("--increment-frac", type=float, default=0.10)
+    ap.add_argument(
+        "--increment-docs",
+        type=int,
+        default=None,
+        help="absolute increment size, overriding --increment-frac "
+        "(use a small value, well under half the bucket count, to "
+        "exercise the partition-granular triple-rewrite win region)",
+    )
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
@@ -58,7 +66,11 @@ def main() -> None:
         shuffle_partitions=32,
     )
     n = args.n_pages
-    n_inc = int(n * args.increment_frac)
+    n_inc = (
+        args.increment_docs
+        if args.increment_docs is not None
+        else int(n * args.increment_frac)
+    )
     root = os.path.join(tempfile.mkdtemp(prefix="delta_bench_"), "kg")
 
     # pool is oversized so the target-part filter still yields n_inc
@@ -118,6 +130,7 @@ def main() -> None:
                                          buckets=args.buckets)
     out["t_canon_delta"] = round(time.time() - t0, 2)
     out["delta_parts_reshingled"] = s3["parts_reshingled"]
+    out["triples_parts_rewritten"] = s3.get("triples_parts_rewritten")
     assert s3["delta"] is True
 
     t0 = time.time()
