@@ -27,6 +27,7 @@ import os
 import shutil
 import time
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -820,17 +821,32 @@ def run_canonicalize_phase(
     # whole-corpus tables: STATIC overwrite — recomputed per run, so
     # earlier runs' partitions must be replaced wholesale (edges and
     # entities are the SMALL relations; triples_canonical is corpus-
-    # sized and gets the incremental path below)
+    # sized and gets the incremental path below). All independent
+    # table writes are DEFERRED into closures and committed on
+    # concurrent driver threads below: each write is a separate Spark
+    # job whose driver-side commit bookkeeping is pure fixed cost, and
+    # run serially the provenance tables would double the phase's job
+    # count (the media phase's concurrent-commit lesson, round 4).
+    write_tasks: list = []
+    state_tasks: list = []
     edges_out = edges.withColumn(
         "part_id", F.pmod(F.xxhash64("id_a"), F.lit(buckets)).cast("int")
     )
-    sinks.write_partitioned(edges_out, out_root, "edges", full_overwrite=True)
+    write_tasks.append(
+        lambda: sinks.write_partitioned(
+            edges_out, out_root, "edges", full_overwrite=True
+        )
+    )
     # member lists capped: a boilerplate mega-cluster must not produce
     # a row bigger than an executor (count stays exact)
     ents = entity_table(assignment, id_col="doc_id", max_members=1024).withColumn(
         "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
     )
-    sinks.write_partitioned(ents, out_root, "entities", full_overwrite=True)
+    write_tasks.append(
+        lambda: sinks.write_partitioned(
+            ents, out_root, "entities", full_overwrite=True
+        )
+    )
 
     # canonical triples: full rewrite persists the provenance relation
     # (canon_triples_raw: one row per SOURCE triple, partitioned by
@@ -960,38 +976,43 @@ def run_canonicalize_phase(
                     for r in new_raw.select("part_id").distinct().collect()
                 }
                 emptied_parts = sorted(set(out_parts) - present)
-                sinks.write_partitioned(
-                    new_raw, out_root, "canon_triples_raw",
-                    full_overwrite=False,
+                write_tasks.append(
+                    lambda: sinks.write_partitioned(
+                        new_raw, out_root, "canon_triples_raw",
+                        full_overwrite=False,
+                    )
                 )
-                sinks.write_partitioned(
-                    dedup_canonical_triples(new_raw),
-                    out_root,
-                    "triples_canonical",
-                    full_overwrite=False,
+                write_tasks.append(
+                    lambda: sinks.write_partitioned(
+                        dedup_canonical_triples(new_raw),
+                        out_root,
+                        "triples_canonical",
+                        full_overwrite=False,
+                    )
                 )
-                for p in emptied_parts:
-                    for tbl in ("canon_triples_raw", "triples_canonical"):
-                        d = os.path.join(out_root, tbl, f"part_id={p}")
-                        if os.path.isdir(d):
-                            shutil.rmtree(d)
             canon_written_parts = out_parts
         elif provenance:
             # full rewrite (first run, invalidated snapshot, or the
-            # scatter gate above): one narrow join, then dedup from the
-            # just-written provenance parquet — one compute of the
-            # rewrite join instead of two (write + dedup consumers)
-            raw = rewrite_triples_raw(
-                triples, assignment_sel, subj_prefix="", id_col="doc_id"
-            ).withColumn("part_id", _part_of("subj"))
-            sinks.write_partitioned(
-                raw, out_root, "canon_triples_raw", full_overwrite=True
+            # scatter gate above): the rewrite join is computed ONCE
+            # (materialized), then the provenance write and the
+            # dedup+canonical write consume it as two concurrent tasks
+            raw = materialize(
+                rewrite_triples_raw(
+                    triples, assignment_sel, subj_prefix="", id_col="doc_id"
+                ).withColumn("part_id", _part_of("subj"))
             )
-            canon_out = dedup_canonical_triples(
-                sinks.read_table(spark, out_root, "canon_triples_raw")
+            write_tasks.append(
+                lambda: sinks.write_partitioned(
+                    raw, out_root, "canon_triples_raw", full_overwrite=True
+                )
             )
-            sinks.write_partitioned(
-                canon_out, out_root, "triples_canonical", full_overwrite=True
+            write_tasks.append(
+                lambda: sinks.write_partitioned(
+                    dedup_canonical_triples(raw),
+                    out_root,
+                    "triples_canonical",
+                    full_overwrite=True,
+                )
             )
         else:
             # provenance disabled: the plain single-join rewrite; any
@@ -1001,8 +1022,11 @@ def run_canonicalize_phase(
             canon_out = rewrite_triples(
                 triples, assignment_sel, subj_prefix="", id_col="doc_id"
             ).withColumn("part_id", _part_of("subj"))
-            sinks.write_partitioned(
-                canon_out, out_root, "triples_canonical", full_overwrite=True
+            write_tasks.append(
+                lambda: sinks.write_partitioned(
+                    canon_out, out_root, "triples_canonical",
+                    full_overwrite=True,
+                )
             )
 
         if provenance:
@@ -1016,9 +1040,11 @@ def run_canonicalize_phase(
                 assign_out = assign_out.where(
                     F.col("part_id").isin([int(p) for p in affected_src])
                 )
-            sinks.write_partitioned(
-                assign_out, out_root, "canon_assignment",
-                full_overwrite=canon_written_parts is None,
+            state_tasks.append(
+                lambda: sinks.write_partitioned(
+                    assign_out, out_root, "canon_assignment",
+                    full_overwrite=canon_written_parts is None,
+                )
             )
             # per-doc text hashes for the NEXT run's doc-granular
             # content diff — narrow (two longs + id), pruned by part
@@ -1030,10 +1056,41 @@ def run_canonicalize_phase(
                 doc_h_out = docs.select(
                     "doc_id", F.xxhash64("text").alias("h")
                 ).withColumn("part_id", _part_of("doc_id"))
-            sinks.write_partitioned(
-                doc_h_out, out_root, "canon_doc_hash",
-                full_overwrite=canon_written_parts is None,
+            state_tasks.append(
+                lambda: sinks.write_partitioned(
+                    doc_h_out, out_root, "canon_doc_hash",
+                    full_overwrite=canon_written_parts is None,
+                )
             )
+
+    # Commit the deferred writes on concurrent driver threads: the
+    # jobs overlap on the executor pool and, more importantly at small
+    # per-table sizes, their serial driver-side parquet commit
+    # bookkeeping overlaps too (same pattern as run_media_phase).
+    # TWO WAVES, not one: the diff-state tables (canon_assignment /
+    # canon_doc_hash) must land strictly AFTER every output table — a
+    # run that crashes mid-output must leave the OLD diff state in
+    # force so the rerun recomputes the same change set (a completed
+    # state write beside a crashed output write would make the rerun
+    # see "nothing changed" over stale outputs).
+    def _run_wave(tasks: list) -> None:
+        if not tasks:
+            return
+        with ThreadPoolExecutor(max_workers=min(5, len(tasks))) as _pool:
+            for _fut in [_pool.submit(t) for t in tasks]:
+                _fut.result()
+
+    _run_wave(write_tasks)
+    # clear partitions the incremental rewrite emptied — after the
+    # output writes (so the dynamic overwrites cannot resurrect them)
+    # and BEFORE the state wave (an output mutation that must not be
+    # certified by new diff state if we crash in between)
+    for p in emptied_parts:
+        for tbl in ("canon_triples_raw", "triples_canonical"):
+            d = os.path.join(out_root, tbl, f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    _run_wave(state_tasks)
 
     # commit accounting: ONE job over the three just-written tables
     # (tagged union) + ONE manifest write — vs 3+3 serial driver
