@@ -157,6 +157,13 @@ def _child_workbook() -> dict:
         ["dataset", "dataTable", "otherEntity", "attribute"],
         _EML_BASE_URL,
     ).count()
+    # ...and the CORPUS FILE itself: the row measures the workbook
+    # kernel, not the page-cache state the previous benchmark left
+    # behind (a cold first rep read up to 3x high — spread [17, 53] —
+    # when a prior run had evicted the cached parquet)
+    from pyspark.sql import functions as _F
+
+    eml_pages.select(_F.sum(_F.length("html"))).collect()
     t0 = time.time()
     wb_rows = create_workbook(
         eml_pages,
