@@ -342,6 +342,26 @@ def lsh_candidate_pairs(
     """
     if materialize:
         signatures = _materialize(signatures)
+    exploded = _band_buckets(signatures, bands, rows_per_band, max_bucket)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _band_buckets(
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, band, key) bucket rows for banded LSH, hot buckets
+    dropped — the shared half of the symmetric and asymmetric pair
+    joins."""
     band_cols = []
     for bnd in range(bands):
         cols = [
@@ -365,12 +385,56 @@ def lsh_candidate_pairs(
             .select("band", "key")
         )
         exploded = exploded.join(F.broadcast(hot), ["band", "key"], "left_anti")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    return exploded
+
+
+def lsh_candidate_pairs_against(
+    probe_signatures: DataFrame,
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Asymmetric banded LSH: candidate pairs where at least one
+    endpoint comes from ``probe_signatures`` (a subset of
+    ``signatures``, same schema).
+
+    The incremental-canonicalization primitive: a delta run only needs
+    pairs touching a re-signed document, so instead of the corpus×
+    bands SELF-join, the tiny probe side is BROADCAST against the
+    full bucket relation. EVERY post-scan step is map-side or over
+    probe-touched rows only: the bucket relation is first semi-joined
+    to the probe's (band, key) set (broadcast), so even the
+    hot-bucket count — a full-corpus shuffle in the symmetric join —
+    aggregates only probe-touched buckets. Semi-joined rows retain a
+    bucket's ENTIRE population, so the counts (and therefore the caps
+    and the kept candidate set) match the symmetric join's exactly.
+    """
+    exploded = _band_buckets(signatures, bands, rows_per_band, None)
+    probe = _band_buckets(probe_signatures, bands, rows_per_band, None).select(
+        F.col("id").alias("probe_id"), "band", "key"
+    )
+    probe_keys = probe.select("band", "key").distinct()
+    touched = exploded.join(
+        F.broadcast(probe_keys), ["band", "key"], "left_semi"
+    )
+    if max_bucket is not None:
+        hot = (
+            touched.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        touched = touched.join(
+            F.broadcast(hot), ["band", "key"], "left_anti"
+        )
     return (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        touched.join(F.broadcast(probe), ["band", "key"])
+        .where(F.col("id") != F.col("probe_id"))
+        .select(
+            F.least("id", "probe_id").alias("id_a"),
+            F.greatest("id", "probe_id").alias("id_b"),
+        )
         .distinct()
     )
 

@@ -701,9 +701,25 @@ def run_canonicalize_phase(
         docs_delta = docs
     from spinneret_spark.operators.dedup import (
         lsh_candidate_pairs,
+        lsh_candidate_pairs_against,
         minhash_signatures_pandas,
     )
 
+    _t = {"prev": t0}  # phase start: first lap covers change detection
+
+    def _lap(name: str) -> None:
+        # coarse section wall-times for the stats dict: Spark is lazy,
+        # so each lap is anchored on an eager boundary (materialize /
+        # collect / write wave) and reads as "everything since the
+        # previous boundary"
+        now = time.time()
+        _timings[name] = round(
+            _timings.get(name, 0.0) + (now - _t["prev"]), 2
+        )
+        _t["prev"] = now
+
+    _timings: dict[str, float] = {}
+    _lap("change_detect")
     sigs_new = materialize(
         minhash_signatures_pandas(docs_delta, id_col="doc_id")
     )
@@ -718,6 +734,7 @@ def run_canonicalize_phase(
             shuffle=False,
             full_overwrite=not delta_ok,
         )
+    _lap("signatures")
     if delta_ok and unchanged:
         sigs_old = (
             sinks.read_table(spark, out_root, "canon_signatures")
@@ -730,15 +747,43 @@ def run_canonicalize_phase(
 
     # banding is k-longs-per-doc cheap; only pairs touching a changed
     # part go to verification (signatures were checkpointed / are a
-    # parquet read, so no materialize inside the band join)
-    candidates = lsh_candidate_pairs(sigs_all, materialize=False)
+    # parquet read, so no materialize inside the band join). On the
+    # delta path the band join is ASYMMETRIC: the re-signed docs
+    # (tiny) broadcast against the full bucket relation — same pair
+    # set as self-join + touching-changed-part filter, without
+    # shuffling corpus×bands rows (8.6 s → map-side at 400k).
+    docs_verify = docs
     if delta_ok and unchanged:
-        candidates = candidates.where(
-            _part_of("id_a").isin([int(p) for p in delta_parts])
-            | _part_of("id_b").isin([int(p) for p in delta_parts])
+        candidates = materialize(
+            lsh_candidate_pairs_against(sigs_new, sigs_all)
         )
+        # Exact-Jaccard verification re-shingles only candidate
+        # ENDPOINT docs, but the semi-join inside the verify operator
+        # still scans every pages_text row's text bytes to find them.
+        # Endpoint part ids are a pure function of the id, and
+        # pages_text is partitioned by part_id on disk — so collect
+        # the (few) parts candidates touch and partition-prune the
+        # verify scan to them. Superset-sound: pruning keeps every
+        # candidate endpoint, and all copies of a url share a part,
+        # so the streamed-dedup view is unchanged.
+        cand_parts = sorted(
+            int(r["p"])
+            for r in candidates.select(
+                F.explode(
+                    F.array(_part_of("id_a"), _part_of("id_b"))
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        if len(cand_parts) < len(parts_on_disk):
+            docs_verify = _docs_view(
+                durable.where(F.col("part_id").isin(cand_parts))
+            )
+    else:
+        candidates = lsh_candidate_pairs(sigs_all, materialize=False)
     new_edges = verify_candidate_pairs(
-        docs, candidates, jaccard_threshold, id_col="doc_id"
+        docs_verify, candidates, jaccard_threshold, id_col="doc_id"
     )
     if delta_ok and unchanged and _partition_ids(out_root, "edges"):
         # unchanged-unchanged pairs keep their prior verdict; every
@@ -763,10 +808,13 @@ def run_canonicalize_phase(
     # eager one-shot materialization (a lazy .cache() recomputes the
     # whole LSH/verify lineage per consumer until its first fill, and
     # can race its own fill across concurrent consumers)
+    _lap("band_plan")
     edges = materialize(merged_edges)
+    _lap("verify_edges")
     assignment = materialize(
         canonical_entities(docs, edges, id_col="doc_id")
     )
+    _lap("components_assignment")
 
     # a corpus where NO page yields a mention has no triples table on
     # disk (same no-files-no-schema hazard); entities/edges still exist
@@ -1080,7 +1128,9 @@ def run_canonicalize_phase(
             for _fut in [_pool.submit(t) for t in tasks]:
                 _fut.result()
 
+    _lap("rewrite_plan")
     _run_wave(write_tasks)
+    _lap("write_outputs")
     # clear partitions the incremental rewrite emptied — after the
     # output writes (so the dynamic overwrites cannot resurrect them)
     # and BEFORE the state wave (an output mutation that must not be
@@ -1091,6 +1141,7 @@ def run_canonicalize_phase(
             if os.path.isdir(d):
                 shutil.rmtree(d)
     _run_wave(state_tasks)
+    _lap("write_state")
 
     # commit accounting: ONE job over the three just-written tables
     # (tagged union) + ONE manifest write — vs 3+3 serial driver
@@ -1130,6 +1181,7 @@ def run_canonicalize_phase(
         )
         stats = g if stats is None else stats.unionByName(g)
     rows = stats.collect() if stats is not None else []
+    _lap("accounting")
     # snapshot for the NEXT incremental run: per-part state tokens +
     # the parameter hash, appended AFTER the outputs above so a crash
     # mid-phase leaves the old snapshot in force and the rerun simply
@@ -1201,6 +1253,7 @@ def run_canonicalize_phase(
         "parts_total": len(parts_on_disk),
         "parts_reshingled": len(delta_parts),
         "delta": bool(delta_ok),
+        "timings": _timings,
         "triples_parts_rewritten": (
             len(canon_written_parts)
             if canon_written_parts is not None

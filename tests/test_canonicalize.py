@@ -113,3 +113,37 @@ def test_embedding_near_dup_pairs(spark):
     pairs = embedding_near_dup_pairs(emb, threshold=0.99)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_asymmetric_band_join_matches_filtered_self_join(spark):
+    """lsh_candidate_pairs_against(probe, all) must produce EXACTLY
+    the self-join pairs touching a probe id — the delta path swaps
+    one for the other, so any divergence is a wrong canonical graph."""
+    from pyspark.sql import functions as F
+
+    from spinneret_spark.operators.dedup import (
+        lsh_candidate_pairs_against,
+        minhash_signatures,
+    )
+    from spinneret_spark.sources.corpusgen import generate_pages
+
+    docs = generate_pages(
+        spark, 120, near_dup_fraction=0.4, include_reference_eml=False
+    ).select(F.col("url").alias("doc_id"), "text")
+    sigs = minhash_signatures(docs).localCheckpoint()
+    probe = sigs.where(F.xxhash64("id") % 5 == 0)
+    assert 0 < probe.count() < sigs.count()
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, materialize=False).collect()
+    }
+    probe_ids = {r["id"] for r in probe.select("id").collect()}
+    want = {
+        p for p in full if p[0] in probe_ids or p[1] in probe_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_against(probe, sigs).collect()
+    }
+    assert got == want and want  # nonempty and exactly equal

@@ -131,6 +131,7 @@ def main() -> None:
     out["t_canon_delta"] = round(time.time() - t0, 2)
     out["delta_parts_reshingled"] = s3["parts_reshingled"]
     out["triples_parts_rewritten"] = s3.get("triples_parts_rewritten")
+    out["delta_timings"] = s3.get("timings")
     assert s3["delta"] is True
 
     t0 = time.time()
