@@ -104,6 +104,24 @@ def main() -> None:
     ap.add_argument("--embedding-threshold", type=float, default=0.4)
     ap.add_argument("--embedding-cells", type=int, default=8)
     ap.add_argument(
+        "--delete-url",
+        action="append",
+        default=[],
+        metavar="URL",
+        help="delete this page url from the durable corpus tables "
+        "before the run (repeatable; see also --delete-urls-file). "
+        "Part-granular rewrite of only the url-hash partitions the "
+        "pages live in; the run's canonicalize phase then heals the "
+        "derived tables incrementally (right-to-be-forgotten)",
+    )
+    ap.add_argument(
+        "--delete-urls-file",
+        default=None,
+        metavar="PATH",
+        help="text file with one url per line to delete (bulk "
+        "takedown batches), combined with any --delete-url flags",
+    )
+    ap.add_argument(
         "--compact-manifest",
         action="store_true",
         help="after the run, rewrite the append-only _manifest to its "
@@ -124,6 +142,21 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    delete_urls = list(args.delete_url)
+    if args.delete_urls_file:
+        with open(args.delete_urls_file) as fh:
+            delete_urls.extend(
+                line.strip() for line in fh if line.strip()
+            )
+    del_stats = None
+    if delete_urls:
+        # purge first: the canonicalize phase inside the run below
+        # then heals edges/entities/triples_canonical incrementally
+        del_stats = pipeline.delete_pages(
+            spark, args.out, delete_urls, args.run_id,
+            buckets=args.buckets,
+        )
+
     pages = spark.read.parquet(args.pages)
     stats = pipeline.run(
         spark,
@@ -135,6 +168,8 @@ def main() -> None:
         jaccard_threshold=args.jaccard_threshold,
         canon_provenance=not args.no_canon_provenance,
     )
+    if del_stats is not None:
+        stats["deletion"] = del_stats
     if args.curate:
         stats["curation"] = pipeline.run_curation_phase(
             spark,

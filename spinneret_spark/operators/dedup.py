@@ -394,6 +394,7 @@ def lsh_candidate_pairs_against(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int | None = 500,
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric banded LSH: candidate pairs where at least one
     endpoint comes from ``probe_signatures`` (a subset of
@@ -418,6 +419,12 @@ def lsh_candidate_pairs_against(
     touched = exploded.join(
         F.broadcast(probe_keys), ["band", "key"], "left_semi"
     )
+    if materialize:
+        # the semi-join embeds the full-corpus band expansion; its
+        # consumers (hot-bucket count, anti-join, final probe join)
+        # would each replay that scan — pin the (small, probe-touched)
+        # result once instead
+        touched = _materialize(touched)
     if max_bucket is not None:
         hot = (
             touched.groupBy("band", "key")

@@ -496,6 +496,194 @@ def run_extract_phase(
     }
 
 
+def delete_pages(
+    spark: SparkSession,
+    out_root: str,
+    urls,
+    run_id: str,
+    buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Targeted page deletion (right-to-be-forgotten / takedown):
+    remove pages by url from the durable corpus tables.
+
+    Part-granular by construction: ``part_id = pmod(xxhash64(url),
+    buckets)``, so N deleted urls touch at most N url-hash partitions
+    of ``pages_text`` and ``triples`` — only those partitions are
+    rewritten (anti-join + dynamic overwrite); every other partition
+    is untouched on disk. At 100 TB this is the difference between a
+    deletion being a few-partition job and a corpus rewrite.
+
+    The rewrite PRESERVES streaming attempt tags (``_batch_run``): a
+    partition's surviving rows are re-written byte-equivalent (minus
+    the deleted urls, and minus crashed-attempt orphan rows — dropping
+    those is vacuum-equivalent), so every visibility rule —
+    marker-validity filtering, url reconciliation on re-crawled docs,
+    resume anti-joins — behaves exactly as before the deletion. A new
+    manifest commit per affected part flips exactly those parts' state
+    tokens (:func:`sinks.pages_state_tokens`), so the next
+    :func:`run_canonicalize_phase` heals ``edges``/``entities``/
+    ``triples_canonical`` INCREMENTALLY: its doc-hash diff sees the
+    vanished docs as changed and rewrites only the canonical
+    partitions they contributed to. Derived tables are therefore
+    eventually consistent; callers needing the canonical view purged
+    in the same job run the canonicalize phase immediately after.
+    ``pages_curated`` and the media tables are other phases' outputs
+    and heal the same way on their next run.
+
+    ``urls`` is a list/tuple/set of url strings or a DataFrame with a
+    ``url`` column. Streamed-delivery marker totals in the manifest
+    are historical (append-only) and are NOT rewritten; accounting
+    consumers on mixed roots already fall back to durable counts.
+    """
+    t0 = time.time()
+    if isinstance(urls, (list, tuple, set)):
+        urls_df = spark.createDataFrame(
+            [(u,) for u in sorted(urls)], "url string"
+        )
+    else:
+        urls_df = urls.select("url")
+    urls_df = urls_df.distinct()
+
+    prior_buckets = sinks.recorded_buckets(spark, out_root, "triples")
+    if prior_buckets and prior_buckets != {buckets}:
+        raise ValueError(
+            f"manifest at {out_root} was committed with "
+            f"buckets={sorted(prior_buckets)}; this deletion uses "
+            f"buckets={buckets} — part_id mappings differ; rerun with "
+            "the original bucket count"
+        )
+    # the deletion list is small by nature (a takedown batch, not a
+    # corpus); its part set drives partition pruning everywhere below
+    target_parts = sorted(
+        int(r["p"])
+        for r in urls_df.select(
+            F.pmod(F.xxhash64("url"), F.lit(buckets))
+            .cast("int")
+            .alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    url_keys = F.broadcast(urls_df)
+
+    mm = sinks.stream_marker_map(spark, out_root, ["pages_text", "triples"])
+    deleted: dict[str, int] = {}
+    manifest_rows: list[tuple] = []
+    emptied: dict[str, list[int]] = {}
+    parts_rewritten: dict[str, list[int]] = {}
+    for tbl, key_col in (("pages_text", "url"), ("triples", "subj")):
+        on_disk = set(_partition_ids(out_root, tbl))
+        parts = [p for p in target_parts if p in on_disk]
+        parts_rewritten[tbl] = parts
+        emptied[tbl] = []
+        deleted[tbl] = 0
+        if not parts:
+            continue
+        markers = sorted(mm[tbl])
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(out_root, tbl)
+        )
+        tagged = "_batch_run" in raw.columns
+        pruned = raw.where(F.col("part_id").isin(parts))
+        if tagged:
+            # durable rows only: batch rows + marker-valid streamed
+            # rows; crashed-attempt orphans die with the rewrite
+            pruned = pruned.where(
+                F.col("_batch_run").isNull()
+                | F.col("_batch_run").isin(markers)
+            )
+        hit = pruned.join(
+            url_keys.withColumnRenamed("url", key_col), key_col, "left_semi"
+        )
+        keep = pruned.join(
+            url_keys.withColumnRenamed("url", key_col), key_col, "left_anti"
+        )
+        # one pruned job answers everything the rewrite and the
+        # manifest need: deletions per part, surviving rows per part
+        # (batch vs tagged split), which parts empty out. A target
+        # part none of the urls actually lives in is left COMPLETELY
+        # alone — no rewrite, no commit, state token unchanged — so a
+        # deletion never forces downstream re-shingles beyond the
+        # parts it really mutated.
+        stat_rows = (
+            hit.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.lit(0).cast("long").alias("n_batch"),
+            )
+            .withColumn("side", F.lit("hit"))
+            .unionByName(
+                keep.groupBy("part_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (
+                        F.count_if(F.col("_batch_run").isNull())
+                        if tagged
+                        else F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias("n_batch"),
+                )
+                .withColumn("side", F.lit("keep"))
+            )
+            .collect()
+        )
+        hits = {
+            int(r["part_id"]): int(r["n"])
+            for r in stat_rows
+            if r["side"] == "hit"
+        }
+        survivors = {
+            int(r["part_id"]): (int(r["n"]), int(r["n_batch"]))
+            for r in stat_rows
+            if r["side"] == "keep"
+        }
+        deleted[tbl] = sum(hits.values())
+        mutated = sorted(hits)
+        parts_rewritten[tbl] = mutated
+        if not mutated:
+            continue
+        live = [p for p in mutated if p in survivors]
+        if live:
+            out = keep.where(F.col("part_id").isin(live))
+            if tagged and all(
+                survivors[p][0] == survivors[p][1] for p in live
+            ):
+                # no tagged row survives anywhere we rewrite: drop the
+                # column rather than bake an all-null _batch_run into
+                # pure-batch partitions (a stale-marker root would
+                # otherwise pay streamed-root reconciliation forever —
+                # surviving-tagged-file detection keys on the column)
+                out = out.drop("_batch_run")
+            sinks.write_partitioned(out, out_root, tbl, shuffle=False)
+        for p in mutated:
+            if p not in survivors:
+                # dynamic overwrite only replaces partitions PRESENT
+                # in the frame — a partition losing all rows must be
+                # removed explicitly and committed at zero
+                d = os.path.join(out_root, tbl, f"part_id={p}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                emptied[tbl].append(p)
+            # commit the BATCH row count (marker totals stay the
+            # historical record of streamed deliveries)
+            manifest_rows.append(
+                (tbl, p, survivors.get(p, (0, 0))[1])
+            )
+    if manifest_rows:
+        sinks.append_manifest_multi(spark, out_root, run_id, manifest_rows)
+    return {
+        "run_id": run_id,
+        "urls_requested": urls_df.count(),
+        "rows_deleted": deleted,
+        "parts_rewritten": {
+            t: [p for p in ps] for t, ps in parts_rewritten.items()
+        },
+        "parts_emptied": emptied,
+        "seconds": time.time() - t0,
+    }
+
+
 def _canon_params_hash(jaccard_threshold: float, buckets: int) -> int:
     """Hash of every knob the persisted canonicalization state depends
     on: signatures (shingle n, MinHash k), candidate generation (LSH
@@ -619,7 +807,17 @@ def run_canonicalize_phase(
         )
     else:
         unchanged = []
-    delta_parts = sorted(parts_on_disk - set(unchanged))
+    # diff over disk ∪ snapshot: a part the snapshot covered that has
+    # VANISHED from disk (a deletion emptied it) is a changed part —
+    # its docs must drop out of signatures/edges/entities and its
+    # canonical-triple contributions must be rewritten away. Without
+    # the union, an emptied-part-only deletion leaves delta_parts
+    # empty and the zero-change short-circuit would certify the STALE
+    # canonical outputs. After the healing run the new snapshot covers
+    # only on-disk parts, so the ghost drops out and later no-change
+    # runs short-circuit again.
+    snap_parts = set(snap["parts"]) if delta_ok else set()
+    delta_parts = sorted((parts_on_disk | snap_parts) - set(unchanged))
 
     if delta_ok and not delta_parts:
         # Zero-change short-circuit: no part's state token moved since
@@ -1195,6 +1393,26 @@ def run_canonicalize_phase(
     manifest_rows.extend(
         ("triples_canonical", p, 0) for p in emptied_parts
     )
+    # tombstone commits for SHRINK: a static overwrite that produces
+    # fewer partitions than the previous run (a deletion removed a
+    # part's docs) leaves the vanished partition's old nonzero commit
+    # as latest-per-part — committed_total would then exceed the disk
+    # forever and the zero-change integrity check could never pass
+    # again. Bounded: once tombstoned at 0 a part is skipped. The
+    # IVM triples path is excluded (untouched parts legitimately keep
+    # their prior rows; its emptied parts are handled just above).
+    summ_out = sinks.manifest_summary(
+        spark, out_root, ["edges", "entities", "triples_canonical"]
+    )
+    for tbl in ["edges", "entities", "triples_canonical"]:
+        if tbl == "triples_canonical" and canon_written_parts is not None:
+            continue
+        on_disk_now = set(_partition_ids(out_root, tbl))
+        manifest_rows.extend(
+            (tbl, p, 0)
+            for p, n in summ_out[tbl]["part_totals"].items()
+            if n > 0 and p not in on_disk_now
+        )
     manifest_rows.append(
         (sinks.CANON_STATE_TABLE, -1, params_hash, sinks.CANON_PARAMS)
     )

@@ -490,6 +490,7 @@ def manifest_summary(
         t: {
             "committed_parts": set(),
             "committed_total": None,
+            "part_totals": {},
             "markers": set(),
             "streamed_total": 0,
             "stream_evidence": False,
@@ -525,9 +526,10 @@ def manifest_summary(
             # crashed FIRST attempt flips this on and readers filter
             # its orphan tagged rows
             e["stream_evidence"] = True
-    for (tbl, _), (_, n) in latest.items():
+    for (tbl, p), (_, n) in latest.items():
         e = out[tbl]
         e["committed_total"] = (e["committed_total"] or 0) + int(n)
+        e["part_totals"][int(p)] = int(n)
     return out
 
 
