@@ -395,10 +395,20 @@ def lsh_candidate_pairs_against(
     rows_per_band: int = 4,
     max_bucket: int | None = 500,
     materialize: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Asymmetric banded LSH: candidate pairs where at least one
     endpoint comes from ``probe_signatures`` (a subset of
     ``signatures``, same schema).
+
+    ``stats_out`` (optional dict) receives ``{"capped_buckets": n}`` —
+    how many probe-touched buckets exceeded ``max_bucket`` and were
+    dropped. Zero certifies the candidate set is exactly what an
+    uncapped run would produce for these probes, which is the
+    precondition for monotone-merge shortcuts downstream (a capped
+    bucket can silently retire candidate pairs, so component merges
+    are no longer provably append-only). Costs one tiny aggregation
+    over the (materialized, probe-touched) bucket relation.
 
     The incremental-canonicalization primitive: a delta run only needs
     pairs touching a re-signed document, so instead of the corpus×
@@ -432,9 +442,13 @@ def lsh_candidate_pairs_against(
             .filter(F.col("n") > max_bucket)
             .select("band", "key")
         )
+        if stats_out is not None:
+            stats_out["capped_buckets"] = hot.count()
         touched = touched.join(
             F.broadcast(hot), ["band", "key"], "left_anti"
         )
+    elif stats_out is not None:
+        stats_out["capped_buckets"] = 0
     return (
         touched.join(F.broadcast(probe), ["band", "key"])
         .where(F.col("id") != F.col("probe_id"))

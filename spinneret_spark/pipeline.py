@@ -706,6 +706,7 @@ def run_canonicalize_phase(
     buckets: int = DEFAULT_BUCKETS,
     incremental: bool = True,
     provenance: bool = True,
+    compose: bool = True,
 ) -> dict:
     """Whole-corpus phase: near-dup edges → entities → canonical
     triples. Reads the materialized ``pages_text`` table (written by
@@ -729,9 +730,27 @@ def run_canonicalize_phase(
       unchanged);
     * re-runs connected components over prior-kept ∪ newly-verified
       edges (a new doc can bridge two old components, so CC is always
-      global — it is cheap: edges are the small relation);
-    * rewrites entities/edges wholesale (they are the SMALL
-      relations); for corpus-sized ``triples_canonical`` it maintains
+      global — it is cheap: edges are the small relation). On an
+      ADDITIVE increment (new docs only: nothing vanished, no content
+      changed, no LSH bucket capped for the probes) even that is
+      skipped: merges are monotone, so the run composes the PERSISTED
+      assignment with a tiny supernode remap (CC over the new edges'
+      old canonical labels — labels are component minima, so
+      min-composition is exact), recomputes per-part assignment
+      hashes only for parts holding a new or relabeled doc, and
+      rewrites the ``entities`` table partition-granularly (touched
+      components recomputed exactly from one filtered scan of the
+      narrow persisted assignment — the capped member arrays are a
+      browsing surface, never the source of truth). An additive delta
+      run therefore performs NO full-corpus scan of any relation:
+      its cost is O(changed partitions + new edges), which is the
+      property that makes per-micro-batch canonicalization viable at
+      10^12 documents. Any gate failure (deletion, re-crawl, capped
+      bucket, >100k-component entanglement, integrity-repair run)
+      falls back to the general global recompute;
+    * rewrites edges wholesale (the SMALL relation) and, outside the
+      composed path, entities too; for corpus-sized
+      ``triples_canonical`` it maintains
       provenance state — ``canon_triples_raw`` (one row per source
       triple, partitioned by canonical hash), ``canon_assignment``
       (doc → canonical), ``canon_doc_hash`` (doc → text hash, pruned
@@ -819,6 +838,12 @@ def run_canonicalize_phase(
     snap_parts = set(snap["parts"]) if delta_ok else set()
     delta_parts = sorted((parts_on_disk | snap_parts) - set(unchanged))
 
+    # set when the zero-change integrity probe finds a corrupted
+    # output (a crashed prior overwrite): this run IS the repair, so
+    # every partial path (composed assignment, triple/entity IVM) is
+    # disabled — they skip untouched partitions by design and would
+    # leave the damage in place forever
+    heal_full = False
     if delta_ok and not delta_parts:
         # Zero-change short-circuit: no part's state token moved since
         # the snapshot, so every downstream relation (signatures →
@@ -862,6 +887,7 @@ def run_canonicalize_phase(
                 "short_circuit": True,
                 "seconds": time.time() - t0,
             }
+        heal_full = True
 
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while
@@ -951,9 +977,12 @@ def run_canonicalize_phase(
     # set as self-join + touching-changed-part filter, without
     # shuffling corpus×bands rows (8.6 s → map-side at 400k).
     docs_verify = docs
+    band_stats: dict = {}
     if delta_ok and unchanged:
         candidates = materialize(
-            lsh_candidate_pairs_against(sigs_new, sigs_all)
+            lsh_candidate_pairs_against(
+                sigs_new, sigs_all, stats_out=band_stats
+            )
         )
         # Exact-Jaccard verification re-shingles only candidate
         # ENDPOINT docs, but the semi-join inside the verify operator
@@ -983,6 +1012,11 @@ def run_canonicalize_phase(
     new_edges = verify_candidate_pairs(
         docs_verify, candidates, jaccard_threshold, id_col="doc_id"
     )
+    if delta_ok and unchanged:
+        # pinned separately from the merge: the composed-assignment
+        # path below consumes the NEW edges alone (they are the only
+        # possible component merges on an additive increment)
+        new_edges = materialize(new_edges)
     if delta_ok and unchanged and _partition_ids(out_root, "edges"):
         # unchanged-unchanged pairs keep their prior verdict; every
         # edge touching a changed part is dropped (re-discovered via
@@ -1009,35 +1043,251 @@ def run_canonicalize_phase(
     _lap("band_plan")
     edges = materialize(merged_edges)
     _lap("verify_edges")
-    assignment = materialize(
-        canonical_entities(docs, edges, id_col="doc_id")
-    )
-    _lap("components_assignment")
 
     # a corpus where NO page yields a mention has no triples table on
     # disk (same no-files-no-schema hazard); entities/edges still exist
     have_triples = bool(_partition_ids(out_root, "triples"))
+    old_assign_hashes = dict(snap.get("assign", {})) if delta_ok else {}
 
-    # Per-part entity-assignment hashes: the change signal for the
-    # incremental triple rewrite. bit_xor keeps the fold order-
-    # independent and overflow-free (doc_id is unique, so no even-
-    # multiplicity cancellation); one narrow aggregation, no join.
-    assignment_sel = assignment.select("doc_id", "canonical_id")
-    assign_hashes: dict[int, int] = {}
-    if provenance:
-        assign_hashes = {
-            int(r["part_id"]): int(r["h"])
-            for r in assignment_sel.groupBy(
-                _part_of("doc_id").alias("part_id")
+    # ---- COMPOSED (incremental) assignment ----
+    # On an ADDITIVE increment (new docs only: nothing vanished, no
+    # content changed, no LSH bucket capped) component merges are
+    # MONOTONE, so the new assignment is the old one composed with a
+    # tiny remap: map the NEW edges' endpoints to their old canonical
+    # labels, run CC over that supernode graph (labels are component
+    # minima, so min-composition stays exact), and relabel. The full-
+    # corpus CC + docs scan + corpus-sized assignment checkpoint of
+    # the general path all disappear — an additive delta run touches
+    # only the partitions the increment actually reaches. Any gate
+    # failure falls back to the general recompute below, which remains
+    # the source of truth for deletions, re-crawls, parameter changes
+    # and capped buckets.
+    composed = False
+    changed_pre = None  # (doc_id, canonical_id, old_canonical)
+    new_docs_assign = None
+    comp_df = None  # (canonical_id, new_canonical), identity included
+    affected_rows = None
+    assign_parted = None
+    new_doc_h = None
+    compose_ok = (
+        compose
+        and delta_ok
+        and not heal_full
+        and bool(unchanged)
+        and provenance
+        and bool(old_assign_hashes)
+        and bool(_partition_ids(out_root, "canon_assignment"))
+        and bool(_partition_ids(out_root, "canon_doc_hash"))
+        and band_stats.get("capped_buckets") == 0
+    )
+    delta_set = [int(p) for p in delta_parts]
+    if compose_ok:
+        old_doc_h_delta = (
+            sinks.read_table(spark, out_root, "canon_doc_hash")
+            .where(F.col("part_id").isin(delta_set))
+            .select("doc_id", F.col("h").alias("old_h"))
+        )
+        new_doc_h = materialize(
+            docs_delta.select("doc_id", F.xxhash64("text").alias("h"))
+        )
+        # additive ⇔ every previously-known doc of the changed parts
+        # is still present with identical content (one narrow pruned
+        # probe; a deletion or re-crawl trips it and takes the general
+        # path, which handles component SPLITS)
+        nonadditive = (
+            old_doc_h_delta.join(new_doc_h, "doc_id", "left")
+            .where(F.col("h").isNull() | (F.col("h") != F.col("old_h")))
+            .limit(1)
+            .count()
+        )
+        compose_ok = nonadditive == 0
+        _lap("compose_gate")
+    if compose_ok:
+        # supernode graph, built in exactly TWO jobs with no shuffle:
+        # (1) collect the new edge pairs (tiny by the additive-
+        # increment premise; capped), (2) one partition-pruned scan of
+        # the persisted narrow assignment filtered to the endpoint
+        # docs — endpoints map to their old canonical labels, new docs
+        # are their own label, union-find runs on the driver.
+        edge_rows = new_edges.select("id_a", "id_b").limit(100_001).collect()
+        if len(edge_rows) > 100_000:
+            # an increment producing >100k new near-dup pairs is not a
+            # micro-batch — the general path's distributed CC is the
+            # right tool there
+            compose_ok = False
+        old_assign_tbl = sinks.read_table(
+            spark, out_root, "canon_assignment"
+        )
+    if compose_ok:
+        ep_id_set = set()
+        for r in edge_rows:
+            ep_id_set.add(r["id_a"])
+            ep_id_set.add(r["id_b"])
+        ep_parts = sorted(set(cand_parts) | set(delta_set))
+        ep_df = spark.createDataFrame(
+            [(i,) for i in sorted(ep_id_set)] or [], "doc_id string"
+        )
+        label = {
+            r["doc_id"]: r["canonical_id"]
+            for r in old_assign_tbl.where(
+                F.col("part_id").isin(ep_parts)
             )
+            .select("doc_id", "canonical_id")
+            .join(F.broadcast(ep_df), "doc_id", "left_semi")
+            .collect()
+        }
+        _lap("compose_supernodes")
+        # driver union-find with path compression; component label =
+        # MIN member label, which composes exactly (old labels are
+        # their components' min doc ids)
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes_seen: set = set()
+        for r in edge_rows:
+            a = label.get(r["id_a"], r["id_a"])
+            b = label.get(r["id_b"], r["id_b"])
+            if a == b:
+                continue
+            nodes_seen.add(a)
+            nodes_seen.add(b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp = {x: _find(x) for x in nodes_seen}
+        comp_schema = "canonical_id string, new_canonical string"
+        comp_df = spark.createDataFrame(
+            sorted(comp.items()) or [], comp_schema
+        )
+        remap_df = spark.createDataFrame(
+            sorted((k, v) for k, v in comp.items() if k != v) or [],
+            comp_schema,
+        )
+        # ONE filtered scan of the narrow persisted assignment yields
+        # both the relabeled docs and the FULL membership of every
+        # touched component (the capped entity member arrays are a
+        # browsing surface, not the source of truth). Crash-safe and
+        # idempotent: the state wave lands strictly after the output
+        # wave, so a rerun after any crash reads the same old state.
+        affected_rows = materialize(
+            old_assign_tbl.join(F.broadcast(comp_df), "canonical_id")
+            .select("doc_id", "canonical_id", "new_canonical", "part_id")
+        )
+        _lap("compose_affected_scan")
+        relabeled = affected_rows.where(
+            F.col("canonical_id") != F.col("new_canonical")
+        )
+        new_docs_assign = materialize(
+            new_doc_h.join(
+                old_doc_h_delta.select("doc_id"), "doc_id", "left_anti"
+            )
+            .select("doc_id")
+            .join(
+                F.broadcast(
+                    comp_df.withColumnRenamed("canonical_id", "doc_id")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("new_canonical", F.col("doc_id")).alias(
+                    "canonical_id"
+                ),
+            )
+        )
+        # full-corpus assignment as a LAZY relation: a map-side
+        # broadcast-remap over the persisted table — consumers that
+        # can prune by part_id stay pruned; only the (rare) scatter-
+        # gate fallbacks pay the full narrow scan
+        assign_parted = old_assign_tbl.join(
+            F.broadcast(remap_df), "canonical_id", "left"
+        ).select(
+            "part_id",
+            "doc_id",
+            F.coalesce("new_canonical", F.col("canonical_id")).alias(
+                "canonical_id"
+            ),
+        ).unionByName(
+            new_docs_assign.select(
+                _part_of("doc_id").alias("part_id"),
+                "doc_id",
+                "canonical_id",
+            )
+        )
+        assignment_sel = assign_parted.select("doc_id", "canonical_id")
+        # per-part hashes: recompute ONLY parts holding a new or
+        # relabeled doc; every other part's rows are identical so its
+        # snapshot hash carries over
+        relabel_parts = {
+            int(r["part_id"])
+            for r in relabeled.select("part_id").distinct().collect()
+        }
+        touched_parts = sorted(set(delta_set) | relabel_parts)
+        assign_hashes = dict(old_assign_hashes)
+        for p in touched_parts:
+            assign_hashes.pop(p, None)
+        _lap("compose_new_docs")
+        for r in (
+            assign_parted.where(F.col("part_id").isin(touched_parts))
+            .groupBy("part_id")
             .agg(
                 F.bit_xor(
                     F.xxhash64(F.concat_ws("#", "doc_id", "canonical_id"))
                 ).alias("h")
             )
             .collect()
-        }
-    old_assign_hashes = dict(snap.get("assign", {})) if delta_ok else {}
+        ):
+            assign_hashes[int(r["part_id"])] = int(r["h"])
+        _lap("compose_hashes")
+        changed_pre = materialize(
+            relabeled.select(
+                "doc_id",
+                F.col("new_canonical").alias("canonical_id"),
+                F.col("canonical_id").alias("old_canonical"),
+            ).unionByName(
+                new_docs_assign.select(
+                    "doc_id",
+                    "canonical_id",
+                    F.lit(None).cast("string").alias("old_canonical"),
+                )
+            )
+        )
+        composed = True
+    if not composed:
+        assignment = materialize(
+            canonical_entities(docs, edges, id_col="doc_id")
+        )
+        # Per-part entity-assignment hashes: the change signal for the
+        # incremental triple rewrite. bit_xor keeps the fold order-
+        # independent and overflow-free (doc_id is unique, so no even-
+        # multiplicity cancellation); one narrow aggregation, no join.
+        assignment_sel = assignment.select("doc_id", "canonical_id")
+        assign_hashes = {}
+        if provenance:
+            assign_hashes = {
+                int(r["part_id"]): int(r["h"])
+                for r in assignment_sel.groupBy(
+                    _part_of("doc_id").alias("part_id")
+                )
+                .agg(
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.concat_ws("#", "doc_id", "canonical_id")
+                        )
+                    ).alias("h")
+                )
+                .collect()
+            }
+    _lap("components_assignment")
     changed_assign_parts = sorted(
         p
         for p in set(assign_hashes) | set(old_assign_hashes)
@@ -1055,6 +1305,7 @@ def run_canonicalize_phase(
     triples_delta = (
         provenance
         and delta_ok
+        and not heal_full
         and bool(unchanged)
         and bool(old_assign_hashes)
         and have_triples
@@ -1085,14 +1336,84 @@ def run_canonicalize_phase(
     )
     # member lists capped: a boilerplate mega-cluster must not produce
     # a row bigger than an executor (count stays exact)
-    ents = entity_table(assignment, id_col="doc_id", max_members=1024).withColumn(
-        "part_id", F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int")
-    )
-    write_tasks.append(
-        lambda: sinks.write_partitioned(
-            ents, out_root, "entities", full_overwrite=True
+    ent_written_parts: list[int] | None = None
+    ent_emptied: list[int] = []
+    ents_ivm = None
+    if composed and _partition_ids(out_root, "entities"):
+        # entities IVM: rows change only for touched components and
+        # new docs — recompute those EXACTLY from the affected-rows
+        # scan (full membership) + new docs, and rewrite only the
+        # canonical-hash partitions they live in. Same scatter gate as
+        # the canonical-triple rewrite.
+        ents_new = materialize(
+            entity_table(
+                affected_rows.select(
+                    "doc_id", F.col("new_canonical").alias("canonical_id")
+                ).unionByName(
+                    new_docs_assign.select("doc_id", "canonical_id")
+                ),
+                id_col="doc_id",
+                max_members=1024,
+            ).withColumn(
+                "part_id",
+                F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast(
+                    "int"
+                ),
+            )
         )
-    )
+        # removal set = every touched OLD label (losers vanish,
+        # winners are replaced) ∪ every recomputed label (makes a
+        # rerun after a mid-write crash idempotent: already-written
+        # new rows — singleton new docs included — are removed and
+        # re-added identically)
+        removal_df = (
+            comp_df.select("canonical_id")
+            .unionByName(ents_new.select("canonical_id"))
+            .distinct()
+        )
+        ent_out_parts = sorted(
+            int(r["p"])
+            for r in removal_df.select(
+                F.pmod(F.xxhash64("canonical_id"), F.lit(buckets))
+                .cast("int")
+                .alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        if len(ent_out_parts) <= len(parts_on_disk) // 2:
+            old_ents = sinks.read_table(spark, out_root, "entities").where(
+                F.col("part_id").isin(ent_out_parts)
+            )
+            kept_ents = old_ents.join(
+                F.broadcast(removal_df), "canonical_id", "left_anti"
+            )
+            ents_ivm = materialize(
+                kept_ents.unionByName(ents_new.select(*old_ents.columns))
+            )
+            present_ent = {
+                int(r["part_id"])
+                for r in ents_ivm.select("part_id").distinct().collect()
+            }
+            ent_emptied = sorted(set(ent_out_parts) - present_ent)
+            write_tasks.append(
+                lambda: sinks.write_partitioned(
+                    ents_ivm, out_root, "entities", full_overwrite=False
+                )
+            )
+            ent_written_parts = ent_out_parts
+    if ent_written_parts is None:
+        ents = entity_table(
+            assignment_sel, id_col="doc_id", max_members=1024
+        ).withColumn(
+            "part_id",
+            F.pmod(F.xxhash64("canonical_id"), F.lit(buckets)).cast("int"),
+        )
+        write_tasks.append(
+            lambda: sinks.write_partitioned(
+                ents, out_root, "entities", full_overwrite=True
+            )
+        )
 
     # canonical triples: full rewrite persists the provenance relation
     # (canon_triples_raw: one row per SOURCE triple, partitioned by
@@ -1110,53 +1431,65 @@ def run_canonicalize_phase(
         changed = None
         if triples_delta:
             aff = [int(p) for p in affected_src]
-            delta_set = [int(p) for p in delta_parts]
-            old_assign = (
-                sinks.read_table(spark, out_root, "canon_assignment")
-                .where(F.col("part_id").isin(aff))
-                .select(
-                    "doc_id", F.col("canonical_id").alias("old_canonical")
+            if changed_pre is not None:
+                # composed path: the changed-doc set (relabeled ∪ new)
+                # fell directly out of the supernode remap — no
+                # full-outer diff joins needed
+                changed = changed_pre
+            else:
+                old_assign = (
+                    sinks.read_table(spark, out_root, "canon_assignment")
+                    .where(F.col("part_id").isin(aff))
+                    .select(
+                        "doc_id",
+                        F.col("canonical_id").alias("old_canonical"),
+                    )
                 )
-            )
-            new_aff = assignment_sel.where(_part_of("doc_id").isin(aff))
-            # DOC-granular content change detection: a token covers a
-            # whole part, but an append micro-batch leaves most of the
-            # part's docs byte-identical — treating them all as
-            # changed would scatter the rewrite over every canonical
-            # partition (part sizes exceed the bucket count at any
-            # real scale). The persisted per-doc text-hash relation
-            # (canon_doc_hash, pruned to the changed parts, narrow)
-            # pins down exactly which docs' triples can differ.
-            old_doc_h = (
-                sinks.read_table(spark, out_root, "canon_doc_hash")
-                .where(F.col("part_id").isin(delta_set))
-                .select("doc_id", F.col("h").alias("old_h"))
-            )
-            new_doc_h = docs_delta.select(
-                "doc_id", F.xxhash64("text").alias("h")
-            )
-            content_changed = (
-                new_doc_h.join(old_doc_h, "doc_id", "full_outer")
-                .where(
-                    F.col("old_h").isNull()
-                    | F.col("h").isNull()
-                    | (F.col("old_h") != F.col("h"))
+                new_aff = assignment_sel.where(
+                    _part_of("doc_id").isin(aff)
                 )
-                .select("doc_id", F.lit(True).alias("_cc"))
-            )
-            # changed docs: assignment moved, doc appeared/vanished,
-            # or content changed (triples may differ)
-            changed = materialize(
-                new_aff.join(old_assign, "doc_id", "full_outer")
-                .join(content_changed, "doc_id", "left")
-                .where(
-                    F.col("old_canonical").isNull()
-                    | F.col("canonical_id").isNull()
-                    | (F.col("old_canonical") != F.col("canonical_id"))
-                    | F.col("_cc")
+                # DOC-granular content change detection: a token covers
+                # a whole part, but an append micro-batch leaves most
+                # of the part's docs byte-identical — treating them all
+                # as changed would scatter the rewrite over every
+                # canonical partition (part sizes exceed the bucket
+                # count at any real scale). The persisted per-doc
+                # text-hash relation (canon_doc_hash, pruned to the
+                # changed parts, narrow) pins down exactly which docs'
+                # triples can differ.
+                old_doc_h = (
+                    sinks.read_table(spark, out_root, "canon_doc_hash")
+                    .where(F.col("part_id").isin(delta_set))
+                    .select("doc_id", F.col("h").alias("old_h"))
                 )
-                .drop("_cc")
-            )
+                new_doc_h = docs_delta.select(
+                    "doc_id", F.xxhash64("text").alias("h")
+                )
+                content_changed = (
+                    new_doc_h.join(old_doc_h, "doc_id", "full_outer")
+                    .where(
+                        F.col("old_h").isNull()
+                        | F.col("h").isNull()
+                        | (F.col("old_h") != F.col("h"))
+                    )
+                    .select("doc_id", F.lit(True).alias("_cc"))
+                )
+                # changed docs: assignment moved, doc appeared/
+                # vanished, or content changed (triples may differ)
+                changed = materialize(
+                    new_aff.join(old_assign, "doc_id", "full_outer")
+                    .join(content_changed, "doc_id", "left")
+                    .where(
+                        F.col("old_canonical").isNull()
+                        | F.col("canonical_id").isNull()
+                        | (
+                            F.col("old_canonical")
+                            != F.col("canonical_id")
+                        )
+                        | F.col("_cc")
+                    )
+                    .drop("_cc")
+                )
             out_parts = sorted(
                 int(r["p"])
                 for r in changed.select(
@@ -1194,8 +1527,20 @@ def run_canonicalize_phase(
                     "subj",
                     "left_semi",
                 )
+                # every changed doc lives in an aff part, so on the
+                # composed path the rewrite join reads only those
+                # partitions of the persisted assignment
+                assign_for_rewrite = (
+                    assign_parted.where(F.col("part_id").isin(aff))
+                    .select("doc_id", "canonical_id")
+                    if composed
+                    else assignment_sel
+                )
                 remapped = rewrite_triples_raw(
-                    tri_changed, assignment_sel, subj_prefix="", id_col="doc_id"
+                    tri_changed,
+                    assign_for_rewrite,
+                    subj_prefix="",
+                    id_col="doc_id",
                 ).withColumn("part_id", _part_of("subj"))
                 old_raw = sinks.read_table(
                     spark, out_root, "canon_triples_raw"
@@ -1278,23 +1623,38 @@ def run_canonicalize_phase(
         if provenance:
             # persist the assignment for the NEXT run's diff —
             # wholesale on the full-rewrite path, affected parts only
-            # on the partition-granular path
-            assign_out = assignment_sel.withColumn(
-                "part_id", _part_of("doc_id")
-            )
-            if canon_written_parts is not None:
-                assign_out = assign_out.where(
-                    F.col("part_id").isin([int(p) for p in affected_src])
+            # on the partition-granular and composed paths (a
+            # composed run's assignment provably changed only in
+            # affected_src parts, even when the TRIPLE rewrite
+            # scatter-gated to a full overwrite)
+            partial_state = canon_written_parts is not None or composed
+            if composed:
+                assign_out = (
+                    assign_parted.where(
+                        F.col("part_id").isin(
+                            [int(p) for p in affected_src]
+                        )
+                    ).select("doc_id", "canonical_id", "part_id")
                 )
+            else:
+                assign_out = assignment_sel.withColumn(
+                    "part_id", _part_of("doc_id")
+                )
+                if partial_state:
+                    assign_out = assign_out.where(
+                        F.col("part_id").isin(
+                            [int(p) for p in affected_src]
+                        )
+                    )
             state_tasks.append(
                 lambda: sinks.write_partitioned(
                     assign_out, out_root, "canon_assignment",
-                    full_overwrite=canon_written_parts is None,
+                    full_overwrite=not partial_state,
                 )
             )
             # per-doc text hashes for the NEXT run's doc-granular
             # content diff — narrow (two longs + id), pruned by part
-            if canon_written_parts is not None:
+            if partial_state:
                 doc_h_out = new_doc_h.withColumn(
                     "part_id", _part_of("doc_id")
                 )
@@ -1305,7 +1665,7 @@ def run_canonicalize_phase(
             state_tasks.append(
                 lambda: sinks.write_partitioned(
                     doc_h_out, out_root, "canon_doc_hash",
-                    full_overwrite=canon_written_parts is None,
+                    full_overwrite=not partial_state,
                 )
             )
 
@@ -1338,6 +1698,10 @@ def run_canonicalize_phase(
             d = os.path.join(out_root, tbl, f"part_id={p}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+    for p in ent_emptied:
+        d = os.path.join(out_root, "entities", f"part_id={p}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     _run_wave(state_tasks)
     _lap("write_state")
 
@@ -1372,6 +1736,10 @@ def run_canonicalize_phase(
             if not canon_written_parts:
                 continue  # delta run touched no canonical partition
             t = t.where(F.col("part_id").isin(canon_written_parts))
+        if tbl == "entities" and ent_written_parts is not None:
+            if not ent_written_parts:
+                continue
+            t = t.where(F.col("part_id").isin(ent_written_parts))
         g = (
             t.groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1393,6 +1761,7 @@ def run_canonicalize_phase(
     manifest_rows.extend(
         ("triples_canonical", p, 0) for p in emptied_parts
     )
+    manifest_rows.extend(("entities", p, 0) for p in ent_emptied)
     # tombstone commits for SHRINK: a static overwrite that produces
     # fewer partitions than the previous run (a deletion removed a
     # part's docs) leaves the vanished partition's old nonzero commit
@@ -1406,6 +1775,8 @@ def run_canonicalize_phase(
     )
     for tbl in ["edges", "entities", "triples_canonical"]:
         if tbl == "triples_canonical" and canon_written_parts is not None:
+            continue
+        if tbl == "entities" and ent_written_parts is not None:
             continue
         on_disk_now = set(_partition_ids(out_root, tbl))
         manifest_rows.extend(
@@ -1463,6 +1834,12 @@ def run_canonicalize_phase(
             for p, n in prior_triple_counts.items()
             if p not in set(canon_written_parts)
         )
+    if ent_written_parts is not None:
+        n_entities += sum(
+            n
+            for p, n in summ_out["entities"]["part_totals"].items()
+            if p not in set(ent_written_parts)
+        )
     return {
         "run_id": run_id,
         "n_entities": n_entities,
@@ -1471,10 +1848,16 @@ def run_canonicalize_phase(
         "parts_total": len(parts_on_disk),
         "parts_reshingled": len(delta_parts),
         "delta": bool(delta_ok),
+        "assignment": "composed" if composed else "full",
         "timings": _timings,
         "triples_parts_rewritten": (
             len(canon_written_parts)
             if canon_written_parts is not None
+            else None
+        ),
+        "entities_parts_rewritten": (
+            len(ent_written_parts)
+            if ent_written_parts is not None
             else None
         ),
         "seconds": time.time() - t0,
