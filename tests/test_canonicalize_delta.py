@@ -201,6 +201,37 @@ def test_short_circuit_integrity_guard_self_heals(spark, tmp_path_factory):
     assert s3.get("short_circuit") is True
 
 
+def test_integrity_repair_run_disables_partial_paths(
+    spark, tmp_path_factory
+):
+    """The repair fall-through must rewrite WHOLESALE: composed
+    assignment and the triple/entity IVM paths skip untouched
+    partitions by design, so a corrupted triples_canonical file on an
+    otherwise zero-change root would never be repaired by them (the
+    previously latent sibling of the entities-victim case above)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("canon_heal_tc"))
+    pages = generate_pages(
+        spark, 200, near_dup_fraction=0.3, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=BUCKETS)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+
+    victim = _output_files(root)["triples_canonical"][0]
+    os.remove(victim)
+
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert "short_circuit" not in s2
+    # the repair run must not take ANY partial path
+    assert s2["assignment"] == "full"
+    assert s2["triples_parts_rewritten"] is None
+    assert s2["entities_parts_rewritten"] is None
+    assert s2["n_canonical_triples"] == s1["n_canonical_triples"]
+    s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=BUCKETS)
+    assert s3.get("short_circuit") is True
+
+
 def _canon_part_files(root):
     import glob
     import os
