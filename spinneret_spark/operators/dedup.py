@@ -69,43 +69,73 @@ def ngram_jaccard_pairs(
     max_bucket: int | None = 1000,
     hash_mode: str = "md5",
     materialize: bool = True,
+    impl: str = "blocked",
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
 
-    Inverted-index plan: explode distinct shingles → self-equi-join on
-    shingle (sort-merge/hash under AQE) → per-pair common count →
-    |A∪B| from per-doc sizes. Jaccard = common/(|A|+|B|-common) is a
-    ratio of exact ints, so the filter is engine-stable.
+    Two physically different plans compute the identical result set
+    (pytest-pinned equal); both hash shingle strings to 8-byte longs
+    first so no exchange ever carries shingle text:
 
-    ``materialize`` (default) checkpoints the hashed shingle relation
-    before it fans out: the self-join's two sides, the size
-    aggregation, and the hot-bucket scan would otherwise each replay
-    the shingle build — the most expensive expression in the plan —
-    3-4×. Measured at sf0.1: 2.9s → 1.9s warm, 6.4s → 2.5s cold. The
-    stored relation is (id, long) rows — far smaller than the text it
-    derives from. The pin strategy comes from the
-    ``SPINNERET_MATERIALIZE`` knob (spinneret_spark/materialize.py):
-    ``local`` = localCheckpoint (single box), ``persist`` =
-    MEMORY_AND_DISK + eager fill (keeps lineage for executor-loss
-    recovery on a real cluster).
+    * ``impl="blocked"`` (default) — filter-free exact counting via
+      block-pair kernels. Per-doc shingle-hash sets are built in one
+      fused Arrow pass (``_shingle_sets_pandas``: tokenize + shingle
+      + memoized md5, emitting the arrays directly — no interpreted
+      shingle HOFs, no per-row md5+conv projection, no collect_list
+      shuffle); docs are hashed into B blocks scaled to corpus size
+      and each of the B(B+1)/2 block pairs is one ``applyInPandas``
+      task whose numpy kernel builds the inverted index for its ≤2
+      blocks locally and counts common shingles for every co-shingle
+      pair vectorized (positional upper-triangle cross-products +
+      radix sort + run-length count). The only exchange is the
+      block-pair replication of the per-doc set arrays — O(B ×
+      corpus sets), ~8 bytes/shingle — instead of the inverted-index
+      self-join's Σ_s df(s)² row explosion. Measured at sf1.0
+      (50k docs, avg shingle df 94): Σ df² = 257M join rows → 114M
+      distinct pairs aggregated for 2.5k survivors, 210 s for the
+      join plan vs ~8 s blocked — the same Σ df² pair touches, but
+      inside numpy at memory bandwidth. Classic filter-and-verify
+      (prefix filtering) was measured first and rejected: this
+      corpus's shingle vocabulary is small and uniformly hot (27.9k
+      shingles, avg df 94), so the t=0.5 prefix index still yields
+      Σ pdf² = 111M — the filters don't bite, the counting itself
+      has to get cheap. Both ``hash_mode="md5"`` and ``"xxhash"``
+      take the same md5-set builder here: hash values only mediate
+      set equality, so the output is identical and md5 keeps the
+      DuckDB oracle bit-exact; with the memo the md5-vs-xxhash cost
+      gap is gone. With ``max_bucket`` set the exploded+hashed
+      relation is built first (the hot-bucket filter needs global
+      document frequencies), then aggregated into the same arrays.
 
-    ``hash_mode`` replaces the shingle STRING with an 8-byte hash
-    before the exchange — the join/groupBy keys shrink from ~30-byte
-    UTF8 (re-hashed at every hash table) to one long. Both engines
-    hash identical strings to identical values, so Jaccard over hashes
-    equals Jaccard over strings (collisions hit both sides the same
-    way; at 61 bits they are ~2^-61 per pair anyway):
+    * ``impl="join"`` — the inverted-index plan: explode distinct
+      shingles → self-equi-join on shingle → per-pair common count →
+      |A∪B| from per-doc sizes (kept for ``hash_mode="none"``
+      debugging and as the cross-check twin).
 
-    * ``"md5"``   (default) — portable md5-derived long; the DuckDB
-      oracle reproduces it bit-exactly (functions/hashing.md5_int).
-    * ``"xxhash"`` — native xxhash64, cheapest projection; the
-      production setting when no cross-engine oracle is needed.
-    * ``"none"``  — join on raw shingle strings (debugging).
+    Jaccard = common/(|A|+|B|-common) is a ratio of exact ints in
+    both plans (identical IEEE double division), so the filter is
+    engine-stable.
+
+    ``materialize`` checkpoints the hashed shingle relation when it
+    fans out to >1 consumer (the join plan's self-join sides + size
+    agg; the blocked plan's hot-bucket scan when ``max_bucket`` is
+    set): the shingle build — the most expensive expression in the
+    plan — would otherwise replay per consumer. The pin strategy
+    comes from the ``SPINNERET_MATERIALIZE`` knob
+    (spinneret_spark/materialize.py).
+
+    ``hash_mode`` — ``"md5"`` (default): portable md5-derived long,
+    the DuckDB oracle reproduces it bit-exactly
+    (functions/hashing.md5_int); ``"xxhash"``: native xxhash64, the
+    production setting when no cross-engine oracle is needed;
+    ``"none"``: join on raw shingle strings (debugging; forces
+    ``impl="join"``).
 
     ``max_bucket`` drops shingles shared by more than that many docs
     (stopword-like shingles contribute O(bucket²) candidate rows and
-    almost no discrimination — standard practice; drops are visible:
-    count them via :func:`hot_shingles`).
+    almost no discrimination — standard practice). Applied to the
+    shingle relation before sizes are taken, identically in both
+    plans.
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     if hash_mode == "md5":
@@ -114,6 +144,37 @@ def ngram_jaccard_pairs(
         sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
     elif hash_mode != "none":
         raise ValueError(f"hash_mode {hash_mode!r} not in md5|xxhash|none")
+    if impl == "blocked" and hash_mode != "none":
+        id_type = docs.schema[id_col].dataType.simpleString()
+        if max_bucket is None:
+            # fused set build: tokenize + shingle + md5 in ONE Arrow
+            # pass with a per-task hash memo, emitting the per-doc
+            # arrays directly — no interpreted shingle HOFs, no
+            # per-row md5+conv projection, no collect_list shuffle
+            per_doc = _shingle_sets_pandas(docs, n, id_col, text_col)
+            return _jaccard_pairs_blocked(
+                per_doc, threshold, id_type, n_docs_hint=docs.count()
+            )
+        if max_bucket is not None:
+            # the hot-bucket scan needs the exploded relation twice
+            if materialize:
+                sh = _materialize(sh)
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_bucket)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        per_doc = sh.groupBy("id").agg(
+            F.collect_list("shingle").alias("arr"),
+            F.count("*").alias("n_sh"),
+        )
+        return _jaccard_pairs_blocked(
+            per_doc, threshold, id_type, n_docs_hint=docs.count()
+        )
+    if impl not in ("join", "blocked"):
+        raise ValueError(f"impl {impl!r} not in blocked|join")
     if materialize:
         sh = _materialize(sh)
     if max_bucket is not None:
@@ -143,6 +204,235 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _shingle_sets_pandas(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, arr array<long>, n_sh int): per-doc distinct word-shingle
+    sets hashed with the portable md5 long — the same values as
+    ``md5_int(shingle string)`` (hashlib.md5 hex == Spark md5 hex;
+    int(hex[:15], 16) == conv(substring(md5, 1, 15), 16, 10)), so
+    Jaccard counts downstream are bit-identical to the expression
+    path and the DuckDB oracle.
+
+    One Arrow crossing builds everything: tokenization matches
+    ``functions.text.tokens`` (split on single space, drop empties),
+    docs with fewer than ``n`` tokens emit no row (like the exploded
+    path), and a per-task memo keyed on shingle string amortizes the
+    md5 calls — shingle vocabularies repeat heavily within a task, so
+    the hash cost is ~distinct-shingles, not corpus-shingles. The
+    explicit hash repartition spreads the corpus over the cluster
+    first: corpora this small arrive as one scan split, which would
+    serialize the kernel."""
+    import hashlib
+
+    spark = docs.sparkSession
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, arr array<long>, n_sh int"
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+        _md5 = hashlib.md5
+        for pdf in batches:
+            out_ids, out_arrs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                toks = [t for t in text.split(" ") if t]
+                if len(toks) < n:
+                    continue
+                seen = set()
+                arr = []
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    h = memo.get(s)
+                    if h is None:
+                        h = int(
+                            _md5(s.encode("utf-8")).hexdigest()[:15], 16
+                        )
+                        memo[s] = h
+                    arr.append(h)
+                out_ids.append(doc_id)
+                out_arrs.append(arr)
+            # explicit dtypes: an empty batch would otherwise produce
+            # float64 columns Arrow cannot cast to list<long>/string
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out_ids, dtype=object),
+                    "arr": pd.Series(out_arrs, dtype=object),
+                    "n_sh": pd.Series(
+                        [len(a) for a in out_arrs], dtype="int32"
+                    ),
+                }
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
+def _jaccard_blocks(n_docs: int, parallelism: int) -> int:
+    """Block count for the blocked Jaccard plan, scale-adaptive: B
+    grows with corpus size (bounds per-kernel memory to
+    ~SPINNERET_JACCARD_BLOCK_DOCS docs per block) with a floor that
+    keeps B(B+1)/2 tasks ≥ the cluster's parallelism on small inputs
+    — never a constant tuned to one box."""
+    import math
+    import os
+
+    block_docs = int(os.environ.get("SPINNERET_JACCARD_BLOCK_DOCS", "4096"))
+    b = max(1, math.ceil(n_docs / block_docs))
+    # parallelism floor: B(B+1)/2 >= parallelism, but never blocks
+    # smaller than ~512 docs (kernel setup would dominate)
+    floor = min(
+        math.ceil(n_docs / 512),
+        math.ceil(math.sqrt(2 * max(1, parallelism))),
+    )
+    return max(1, min(256, max(b, floor)))
+
+
+def _jaccard_pairs_blocked(
+    per_doc: DataFrame,
+    threshold: float,
+    id_type: str,
+    n_docs_hint: int,
+) -> DataFrame:
+    """Exact Jaccard pairs from a per-doc shingle-hash-set relation
+    (id, arr array<long>, n_sh int) via block-pair counting kernels
+    (see ngram_jaccard_pairs).
+
+    Each doc's set row is replicated to its B block-pair groups, and
+    every group's kernel counts |A∩B| for all co-shingle pairs it
+    owns: an unordered pair (a, b) lands in exactly one group
+    ({block(a), block(b)}), cross-block groups keep only cross-block
+    pairs, so no pair is emitted twice. The kernel is pure numpy —
+    radix-sort the task's postings, expand per-shingle doc-index
+    cross-products (Σ m² vectorized ops, no Python loop over rows),
+    count pairs with one sort + run-length pass, then filter
+    common/(n_a+n_b-common) ≥ threshold — the same exact arithmetic
+    as the join plan, at memory bandwidth instead of shuffle
+    bandwidth. The explicit repartition on the group key keeps one
+    kernel task per block pair: without it AQE coalesces the ~5 MB
+    groups into a handful of fat partitions and the kernels run
+    nearly serial."""
+    import numpy as np
+
+    spark = per_doc.sparkSession
+    n_blocks = _jaccard_blocks(
+        n_docs_hint, spark.sparkContext.defaultParallelism
+    )
+    rep = per_doc.withColumn(
+        "bk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    pair_structs = [
+        F.struct(
+            F.least(F.col("bk"), F.lit(j)).alias("bi"),
+            F.greatest(F.col("bk"), F.lit(j)).alias("bj"),
+        )
+        for j in range(n_blocks)
+    ]
+    rep = rep.select(
+        "id",
+        "arr",
+        "n_sh",
+        "bk",
+        F.explode(F.array(*pair_structs)).alias("bp"),
+    ).select("id", "arr", "n_sh", "bk", "bp.bi", "bp.bj")
+
+    schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    empty = {
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "jaccard": pd.Series([], dtype="float64"),
+    }
+
+    def kernel(key, pdf):
+        bi, bj = key
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame(empty)
+        # int32 indices keep the hot passes (repeat/gather/radix sort)
+        # at twice the memory bandwidth of int64; pair keys need
+        # n_rows² < 2³¹, i.e. blocks up to ~23k docs each
+        idt = np.int32 if n_rows <= 46000 else np.int64
+        ids = pdf["id"].to_numpy()
+        nsh = pdf["n_sh"].to_numpy().astype(np.int64)
+        blk = pdf["bk"].to_numpy()
+        # postings: (row index, shingle) exploded from the arrays
+        row_of = np.repeat(np.arange(n_rows, dtype=idt), nsh)
+        cols = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in pdf["arr"]]
+        )
+        n_post = len(cols)
+        # stable sort by shingle value: postings of one shingle form a
+        # run, and WITHIN the run row indices stay ascending — so
+        # position order is row order and the upper triangle can be
+        # generated positionally
+        order = np.argsort(cols, kind="stable")
+        sc, sr = cols[order], row_of[order]
+        new_grp = np.empty(n_post, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=new_grp[1:])
+        gid = np.cumsum(new_grp, dtype=idt) - 1
+        m = np.bincount(gid).astype(idt)
+        offs = np.zeros(len(m), dtype=idt)
+        np.cumsum(m[:-1], out=offs[1:])
+        # pairs contributed by each posting as the 'a' side: the
+        # members AFTER it in its run (upper triangle, a_row < b_row)
+        local = np.arange(n_post, dtype=idt) - offs[gid]
+        m_r = m[gid] - 1 - local
+        total = int(m_r.sum())
+        if total == 0:
+            return pd.DataFrame(empty)
+        a_rows = np.repeat(sr, m_r)
+        row_starts = np.zeros(n_post, dtype=np.int64)
+        np.cumsum(m_r[:-1], out=row_starts[1:])
+        k = np.arange(total, dtype=idt) - np.repeat(
+            row_starts, m_r
+        ).astype(idt)
+        b_rows = sr[np.repeat(np.arange(1, n_post + 1, dtype=idt), m_r) + k]
+        # common-shingle count per pair: radix sort + run-length pass
+        pair_key = np.sort(
+            a_rows.astype(idt) * idt(n_rows) + b_rows, kind="stable"
+        )
+        bounds = np.empty(total, dtype=bool)
+        bounds[0] = True
+        np.not_equal(pair_key[1:], pair_key[:-1], out=bounds[1:])
+        upairs = pair_key[bounds]
+        common = np.diff(np.append(np.flatnonzero(bounds), total))
+        ar = upairs // n_rows
+        br = upairs - ar * n_rows
+        if bi != bj:
+            # within-block pairs belong to this group's diagonal twins
+            sel = blk[ar] != blk[br]
+            ar, br, common = ar[sel], br[sel], common[sel]
+        # integer pre-filter (epsilon-loose) before the exact-division
+        # check: jac >= t  <=>  common*(1+t) >= t*(na+nb)
+        na, nb = nsh[ar], nsh[br]
+        cand = common * (1.0 + threshold) >= threshold * (na + nb) - 1e-9
+        ar, br = ar[cand], br[cand]
+        common, na, nb = common[cand], na[cand], nb[cand]
+        jac = common / (na + nb - common)
+        sel = (jac >= threshold) & (ids[ar] != ids[br])
+        ar, br, jac = ar[sel], br[sel], jac[sel]
+        ia, ib = ids[ar], ids[br]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "jaccard": jac})
+
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    rep = rep.repartition(min(n_groups, 2048), "bi", "bj")
+    return rep.groupBy("bi", "bj").applyInPandas(kernel, schema=schema)
 
 
 def minhash_signatures(
