@@ -290,7 +290,10 @@ def _jaccard_blocks(n_docs: int, parallelism: int) -> int:
     import math
     import os
 
-    block_docs = int(os.environ.get("SPINNERET_JACCARD_BLOCK_DOCS", "4096"))
+    # 2048 measured best at sf1.0 (50k docs): 6.2 s vs 7.7 (4096) /
+    # 13.1 (8192, tasks too coarse) / 12.7 (1024, B×corpus replication
+    # dominates); the knob trades kernel balance against replication
+    block_docs = int(os.environ.get("SPINNERET_JACCARD_BLOCK_DOCS", "2048"))
     b = max(1, math.ceil(n_docs / block_docs))
     # parallelism floor: B(B+1)/2 >= parallelism, but never blocks
     # smaller than ~512 docs (kernel setup would dominate)
@@ -442,20 +445,37 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     fast_hash: bool = False,
+    impl: str = "kernel",
 ) -> DataFrame:
     """k MinHash values per document over its shingle set.
 
-    One explode + one grouped aggregation producing all k minima in a
-    single shuffle (map-side partial min keeps the shuffle tiny: k
-    longs per doc per mapper). The base hash is PROJECTED ONCE per
-    shingle row before the aggregation — the k permutations are then
-    2 multiplies + 2 mods each, so hashing cost is k-independent.
+    ``impl="kernel"`` (default) — the per-doc md5 shingle-hash sets
+    come from the fused Arrow builder (``_shingle_sets_pandas``, one
+    crossing, memoized md5) and all k permutation minima are computed
+    in one vectorized numpy pass (``(a·x+b) mod p`` over the batch's
+    concatenated sets + ``np.minimum.reduceat`` per doc) — the exact
+    same integers as the expression path (int64 arithmetic never
+    overflows: a, x < 2³¹). Measured at sf1.0: the expression path
+    spends 5.7 s of its 6.0 s building the exploded md5 shingle
+    relation (interpreted shingle HOFs + per-row md5+conv); the
+    kernel path does it in ~1 s.
+
+    ``impl="expr"`` — one explode + one grouped aggregation producing
+    all k minima in a single shuffle (map-side partial min keeps the
+    shuffle tiny: k longs per doc per mapper); the base hash is
+    projected once per shingle row, so hashing cost is k-independent.
+    The oracle-shaped cross-check twin (pytest-pinned equal).
 
     ``fast_hash`` switches the base hash from the portable md5-derived
     integer (DuckDB-oracle-comparable, used by the checked queries) to
-    native ``xxhash64`` (≈10× cheaper; the production-pipeline path —
-    permutation arithmetic and LSH behavior are identical).
+    native ``xxhash64`` (the production-pipeline path — permutation
+    arithmetic and LSH behavior are identical; always the expression
+    path).
     """
+    if not fast_hash and impl == "kernel":
+        return _minhash_from_sets(
+            _shingle_sets_pandas(docs, n, id_col, text_col), k
+        )
     if fast_hash:
         # numeric shingle hashes: hash each token once, combine the
         # n-window with a rolling polynomial mod p — no 10M-row
@@ -497,6 +517,58 @@ def minhash_signatures(
         F.min(minhash_value(F.col("h"), i)).alias(f"mh{i}") for i in range(k)
     ]
     return hashed.groupBy("id").agg(*aggs)
+
+
+def _minhash_from_sets(per_doc: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(id, mh0..mh{k-1}) from a (id, arr array<long>, n_sh) set
+    relation — one vectorized numpy pass per batch: reduce the
+    concatenated shingle hashes mod p once, apply all k universal
+    permutations as a (k × total) matrix op, then per-doc minima via
+    ``np.minimum.reduceat``. Bit-identical to the expression path's
+    ``min(minhash_value(h, i))`` aggregation."""
+    import numpy as np
+
+    from spinneret_spark.functions.hashing import MINHASH_PARAMS
+
+    params = MINHASH_PARAMS[:k]
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    id_type = per_doc.schema["id"].dataType.simpleString()
+    fields = ", ".join(f"mh{i} long" for i in range(k))
+    schema = f"id {id_type}, {fields}"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, lens, parts = [], [], []
+            for doc_id, arr in zip(pdf["id"], pdf["arr"]):
+                x = np.asarray(arr, dtype=np.int64)
+                if len(x) == 0:
+                    continue
+                ids.append(doc_id)
+                lens.append(len(x))
+                parts.append(x)
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series([], dtype=object),
+                        **{
+                            f"mh{i}": pd.Series([], dtype="int64")
+                            for i in range(k)
+                        },
+                    }
+                )
+                continue
+            x_all = np.concatenate(parts) % MERSENNE_P
+            bounds = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=bounds[1:])
+            vals = (a_vec * x_all[None, :] + b_vec) % MERSENNE_P
+            mins = np.minimum.reduceat(vals, bounds, axis=1)
+            out = {"id": pd.Series(ids, dtype=object)}
+            for i in range(k):
+                out[f"mh{i}"] = mins[i]
+            yield pd.DataFrame(out)
+
+    return per_doc.select("id", "arr").mapInPandas(kernel, schema=schema)
 
 
 def minhash_signatures_pandas(

@@ -34,6 +34,19 @@ def test_blocked_matches_join(spark, hash_mode, max_bucket):
     assert got == want and got
 
 
+def test_minhash_kernel_matches_expr(spark):
+    from spinneret_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        tuple(r) for r in minhash_signatures(docs, impl="expr").collect()
+    )
+    got = sorted(
+        tuple(r) for r in minhash_signatures(docs, impl="kernel").collect()
+    )
+    assert got == want and got
+
+
 def test_blocked_string_ids_and_short_docs(spark):
     rows = [
         ("z-doc", "alpha beta gamma delta epsilon zeta"),
