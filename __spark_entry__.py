@@ -41,7 +41,11 @@ from spinneret_spark.operators.linking import (
     MENTIONS_PRED,
     MENTIONS_PRED_LABEL,
 )
-from spinneret_spark.operators.mentions import detect_mentions
+from spinneret_spark.operators.mentions import (
+    detect_mentions,
+    distinct_mentions,
+    mention_doc_counts,
+)
 from spinneret_spark.operators.components import components_with_isolated
 from spinneret_spark.operators.similarity import brute_force_topk
 from spinneret_spark.operators.textstats import (
@@ -111,9 +115,19 @@ def q_segment_top_orders(spark, sf):
         _dec("l_extendedprice")
         * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     ).cast("double")
+    # selective side first: the BUILDING-segment filter keeps ~1/5 of
+    # customers, so orders ⋈ broadcast(cust) shrinks orders below the
+    # broadcast threshold and lineitem — the big side — is never
+    # shuffled at all (was: SMJ li⋈orders with two corpus exchanges,
+    # then the filter). Inner joins + exact decimal sums, so the
+    # reorder cannot change a single output value.
+    sel_orders = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "o_orderpriority")
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(
+            F.broadcast(sel_orders), li["l_orderkey"] == sel_orders["o_orderkey"]
+        )
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -152,9 +166,16 @@ def q_nation_revenue(spark, sf):
             F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
         ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
+    # same reorder as q_segment_top_orders: ASIA keeps ~1/5 of
+    # customers, so orders ⋈ broadcast(dims) first, then broadcast the
+    # shrunken orders to lineitem — the big side is never shuffled
+    sel_orders = orders.join(
+        F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"]
+    ).select("o_orderkey", "n_name")
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        li.join(
+            F.broadcast(sel_orders), li["l_orderkey"] == sel_orders["o_orderkey"]
+        )
         .groupBy("n_name")
         .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -317,13 +338,13 @@ _UNNEST_TOKENS = (
 
 
 def q_kg_mentions(spark, sf):
-    """E7 mention detection (token dictionary, broadcast join)."""
+    """E7 mention detection — fused distinct-mention kernel (one Arrow
+    crossing; per-doc dedup IS the global distinct because doc_id is
+    part of the key, so the posexplode/broadcast-join/distinct-shuffle
+    plan collapses; results identical, pytest-pinned)."""
     docs = _t(spark, sf, "documents")
     vocab = default_vocab(spark)
-    m = detect_mentions(docs, vocab)
-    return m.select(
-        "doc_id", "subject_id", F.col("surface").alias("term")
-    ).distinct()
+    return distinct_mentions(docs, vocab)
 
 
 Q_KG_MENTIONS_SQL = f"""
@@ -337,12 +358,12 @@ def q_kg_triples(spark, sf):
     """J1 linking → (subj, pred, obj) triples with deterministic ids."""
     docs = _t(spark, sf, "documents")
     vocab = default_vocab(spark)
-    m = detect_mentions(docs, vocab).select("doc_id", "surface", "subject_id").distinct()
+    m = distinct_mentions(docs, vocab)
     subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
     return m.select(
         subj.alias("subj"),
         F.lit(MENTIONS_PRED_LABEL).alias("pred"),
-        F.col("surface").alias("obj"),
+        F.col("term").alias("obj"),
         F.lit(MENTIONS_PRED).alias("pred_id"),
         F.col("subject_id").alias("obj_id"),
         F.sha2(
@@ -438,10 +459,14 @@ def q_kg_entity_degree(spark, sf):
     """A-agg over mention occurrences: entity degrees."""
     docs = _t(spark, sf, "documents")
     vocab = default_vocab(spark)
-    m = detect_mentions(docs, vocab)
-    return m.groupBy("subject_id", F.col("surface").alias("term")).agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_mentions"),
+    # fused per-doc partial aggregate: one (doc, term) row with its
+    # occurrence count crosses the shuffle instead of one row per
+    # token occurrence; count(*)/sum(n_occ) over doc-rows equals
+    # countDistinct(doc_id)/count(*) over occurrence rows exactly
+    m = mention_doc_counts(docs, vocab)
+    return m.groupBy("subject_id", "term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_occ").alias("n_mentions"),
     )
 
 

@@ -60,6 +60,103 @@ def detect_mentions(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
     ).select(id_col, "pos", "surface", "subject_id")
 
 
+def distinct_mentions(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DISTINCT (id, subject_id, term) mention triples in one Arrow
+    crossing — the fused twin of
+    ``detect_mentions(...).select(id, subject_id, surface).distinct()``.
+
+    Because ``id`` is part of the distinct key, per-document dedup IS
+    the global distinct, so the posexplode (corpus tokens ×1 row
+    each), the broadcast join, and the distinct's corpus shuffle all
+    collapse into a per-doc set lookup against the collected
+    vocabulary (small by design — the same smallness the broadcast
+    join assumes). Label→id is a multimap: two vocabulary rows sharing
+    a label emit two mentions, exactly like the join. Row order is
+    unspecified (bag semantics, like the join plan)."""
+    return _fused_mentions(docs, vocab, text_col, id_col, counts=False)
+
+
+def mention_doc_counts(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, subject_id, term, n_occ) — one row per document×mention
+    with its occurrence count: the per-doc partial aggregate of
+    ``detect_mentions``, fused into the same single Arrow crossing as
+    :func:`distinct_mentions`. ``groupBy(subject_id, term)`` over
+    these rows with ``count(*)``/``sum(n_occ)`` equals
+    ``countDistinct(doc_id)``/``count(*)`` over the occurrence rows —
+    the degree rollup shuffles one row per (doc, term) instead of one
+    per token occurrence."""
+    return _fused_mentions(docs, vocab, text_col, id_col, counts=True)
+
+
+def _fused_mentions(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    counts: bool,
+) -> DataFrame:
+    label_map: dict[str, list[str]] = {}
+    for r in vocab.select("subject_label", "subject_id").collect():
+        label_map.setdefault(r["subject_label"], []).append(r["subject_id"])
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, subject_id string, term string"
+    if counts:
+        schema += ", n_occ long"
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id: list = []
+            out_sid: list[str] = []
+            out_term: list[str] = []
+            out_n: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                occ: dict[str, int] = {}
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    if tok in occ:
+                        occ[tok] += 1
+                    elif tok in label_map:
+                        occ[tok] = 1
+                for tok, n in occ.items():
+                    for sid in label_map[tok]:
+                        out_id.append(doc_id)
+                        out_sid.append(sid)
+                        out_term.append(tok)
+                        out_n.append(n)
+            data = {
+                id_col: pd.Series(out_id, dtype=object),
+                "subject_id": pd.Series(out_sid, dtype=object),
+                "term": pd.Series(out_term, dtype=object),
+            }
+            if counts:
+                data["n_occ"] = pd.Series(out_n, dtype="int64")
+            yield pd.DataFrame(data)
+
+    # corpora this small arrive as one scan split — spread them over
+    # the cluster first or the kernel runs on a single core
+    n_parts = max(
+        2 * docs.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    return (
+        docs.select(id_col, text_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(kernel, schema=schema)
+    )
+
+
 class DictMatcher:
     """Leftmost-longest dictionary matcher, hash-window based.
 

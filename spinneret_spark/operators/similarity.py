@@ -59,6 +59,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    impl: str = "kernel",
 ) -> DataFrame:
     """Exact top-k by cosine: (q_id, vec_id, rank, cos).
 
@@ -67,16 +68,95 @@ def brute_force_topk(
     straggler at corpus N (scores are produced map-side by the
     broadcast cross, so phase one never shuffles raw scores). Exact:
     global top-k = top-k of per-shard top-k's.
-    """
-    pairs = embeddings.crossJoin(F.broadcast(queries)).where(
-        F.col(id_col) != F.col(q_id_col)
-    )
-    scored = pairs.select(
-        q_id_col,
-        id_col,
-        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos"),
-    )
+
+    ``impl="kernel"`` (default) scores with a numpy kernel instead of
+    the interpreted Catalyst HOF fold — bit-identical doubles: the
+    fold is vectorized ACROSS corpus rows but stays strictly
+    sequential over vector dimensions (``acc += prods[:, d]`` for d in
+    order), which is exactly the left-to-right float64 fold the
+    expression path and the DuckDB oracle perform. The query side is
+    collected (queries ≪ corpus by contract — the same smallness the
+    broadcast cross assumes) and shipped in the closure.
+    ``impl="expr"`` keeps the pure-expression twin (pytest-pinned
+    equal)."""
+    if impl == "kernel":
+        scored = _cosine_scores_kernel(
+            embeddings, queries, id_col, vec_col, q_id_col, q_vec_col
+        )
+    else:
+        pairs = embeddings.crossJoin(F.broadcast(queries)).where(
+            F.col(id_col) != F.col(q_id_col)
+        )
+        scored = pairs.select(
+            q_id_col,
+            id_col,
+            cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos"),
+        )
     return _topk_per_query(scored, q_id_col, id_col, k)
+
+
+def _cosine_scores_kernel(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """(q_id, id, cos) scored rows for every (query, corpus) pair with
+    id ≠ q_id — numpy, bit-identical to the ``cosine`` expression (see
+    brute_force_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = [
+        (r[q_id_col], np.asarray(r[q_vec_col], dtype=np.float32))
+        for r in queries.collect()
+    ]
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[q_id_col].dataType.simpleString()
+    schema = f"{q_id_col} {qid_type}, {id_col} {id_type}, cos double"
+
+    def _seq_fold(mat: "np.ndarray") -> "np.ndarray":
+        # strict left-to-right float64 fold over dims, vectorized over rows
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc += mat[:, d]
+        return acc
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            ).astype(np.float64)
+            sq = mat * mat
+            norms = np.sqrt(_seq_fold(sq))
+            out_q, out_i, out_c = [], [], []
+            for q_id, q_vec in q_rows:
+                q_d = q_vec.astype(np.float64)
+                q_norm = np.sqrt(
+                    _seq_fold((q_d * q_d)[None, :])[0]
+                )
+                dots = _seq_fold(mat * q_d[None, :])
+                cos = dots / (q_norm * norms)
+                keep = ids != q_id
+                out_q.extend([q_id] * int(keep.sum()))
+                out_i.extend(ids[keep])
+                out_c.extend(cos[keep])
+            yield pd.DataFrame(
+                {
+                    q_id_col: pd.Series(out_q, dtype=object),
+                    id_col: pd.Series(out_i, dtype=object),
+                    "cos": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def assign_cells(
