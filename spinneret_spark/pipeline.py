@@ -534,6 +534,13 @@ def delete_pages(
     ``url`` column. Streamed-delivery marker totals in the manifest
     are historical (append-only) and are NOT rewritten; accounting
     consumers on mixed roots already fall back to durable counts.
+
+    SINGLE-WRITER assumption (same contract as ``vacuum_streamed`` /
+    ``compact_manifest``): do not run a deletion concurrently with an
+    in-flight streaming attempt on the same parts — the rewrite drops
+    un-markered tagged rows as crashed-attempt orphans, so a live
+    attempt's pre-marker appends would be lost. Serialize deletions
+    with the streaming writer (ADVICE r5, low).
     """
     t0 = time.time()
     if isinstance(urls, (list, tuple, set)):
@@ -641,11 +648,15 @@ def delete_pages(
         deleted[tbl] = sum(hits.values())
         mutated = sorted(hits)
         parts_rewritten[tbl] = mutated
-        if not mutated:
-            continue
         live = [p for p in mutated if p in survivors]
         if live:
-            out = keep.where(F.col("part_id").isin(live))
+            # pin the survivors BEFORE the dynamic overwrite: the keep
+            # frame lazily reads the same parquet directory the write
+            # replaces — every other self-overwrite in the repo
+            # (triples/entities IVM) materializes first, and without
+            # it a task retry or speculative re-read after commit
+            # begins can read already-replaced files (ADVICE r5, low)
+            out = materialize(keep.where(F.col("part_id").isin(live)))
             if tagged and all(
                 survivors[p][0] == survivors[p][1] for p in live
             ):
@@ -665,8 +676,17 @@ def delete_pages(
                 if os.path.isdir(d):
                     shutil.rmtree(d)
                 emptied[tbl].append(p)
-            # commit the BATCH row count (marker totals stay the
-            # historical record of streamed deliveries)
+        # Commit the BATCH row count (marker totals stay the historical
+        # record of streamed deliveries) for EVERY on-disk target part,
+        # hit or not (ADVICE r5, medium): a crash between the rewrites
+        # above and this append leaves the deleted urls gone from
+        # pages_text but the state tokens unchanged, so canonicalize
+        # would keep certifying stale derived tables — and a re-run of
+        # the same deletion would find 0 hits and commit nothing,
+        # making the staleness permanent. Committing every target part
+        # flips its token, so RE-RUNNING the deletion always forces
+        # the heal; the cost is re-shingling ≤ |urls| extra parts.
+        for p in parts:
             manifest_rows.append(
                 (tbl, p, survivors.get(p, (0, 0))[1])
             )
@@ -682,6 +702,33 @@ def delete_pages(
         "parts_emptied": emptied,
         "seconds": time.time() - t0,
     }
+
+
+def _canon_outputs_intact(
+    spark: SparkSession, out_root: str
+) -> tuple[dict, bool]:
+    """Parquet footer counts of the three canonical output tables vs
+    their latest-per-part manifest commits. Cheap (metadata reads) and
+    the shared integrity probe of BOTH reuse paths: the zero-change
+    short-circuit (don't certify a crashed overwrite) and the delta
+    path's kept-edge/old-raw reuse (don't recycle a partial table a
+    crashed output wave left behind — ADVICE r5, high)."""
+    out_tables = ["edges", "entities", "triples_canonical"]
+    summ = sinks.manifest_summary(spark, out_root, out_tables)
+    counts = {}
+    intact = True
+    for tbl in out_tables:
+        expected = summ[tbl]["committed_total"] or 0
+        actual = (
+            sinks.read_table(spark, out_root, tbl).count()
+            if _partition_ids(out_root, tbl)
+            else 0
+        )
+        counts[tbl] = actual
+        if actual != expected:
+            intact = False
+            break
+    return counts, intact
 
 
 def _canon_params_hash(jaccard_threshold: float, buckets: int) -> int:
@@ -860,21 +907,7 @@ def run_canonicalize_phase(
         # reads, far cheaper than re-banding + CC + the triple
         # rewrite. On mismatch fall through — the normal path re-derives
         # everything from the persisted signatures and self-heals.
-        out_tables = ["edges", "entities", "triples_canonical"]
-        summ = sinks.manifest_summary(spark, out_root, out_tables)
-        counts = {}
-        intact = True
-        for tbl in out_tables:
-            expected = summ[tbl]["committed_total"] or 0
-            actual = (
-                sinks.read_table(spark, out_root, tbl).count()
-                if _partition_ids(out_root, tbl)
-                else 0
-            )
-            counts[tbl] = actual
-            if actual != expected:
-                intact = False
-                break
+        counts, intact = _canon_outputs_intact(spark, out_root)
         if intact:
             return {
                 "run_id": run_id,
@@ -888,6 +921,20 @@ def run_canonicalize_phase(
                 "seconds": time.time() - t0,
             }
         heal_full = True
+    if delta_ok and unchanged and delta_parts and not heal_full:
+        # Delta-path integrity probe (ADVICE r5, high): this run will
+        # reuse the persisted edges (kept unchanged-unchanged pairs)
+        # and, on the IVM paths, old_raw/old_ents. A crash during a
+        # prior run's OUTPUT write wave leaves a partial table with
+        # the old manifest still in force — and because real changes
+        # exist, the zero-change probe above never fires. Verify the
+        # same count-vs-manifest invariant before trusting any
+        # persisted output; on mismatch this run becomes the repair:
+        # heal_full disables every reuse/partial path below and the
+        # outputs are rebuilt wholesale from the persisted signatures.
+        _, intact = _canon_outputs_intact(spark, out_root)
+        if not intact:
+            heal_full = True
 
     # read_durable: all batch-written rows + marker-valid streamed
     # rows — streamed pages canonicalize like any other page, while
@@ -978,7 +1025,12 @@ def run_canonicalize_phase(
     # shuffling corpus×bands rows (8.6 s → map-side at 400k).
     docs_verify = docs
     band_stats: dict = {}
-    if delta_ok and unchanged:
+    # heal_full gates BOTH shortcuts here: the asymmetric probe join
+    # only finds pairs touching a changed part and the kept-edge merge
+    # below recycles the persisted table — a repair run must rebuild
+    # the complete edge set from the (valid) persisted signatures via
+    # the full symmetric band join instead
+    if delta_ok and unchanged and not heal_full:
         candidates = materialize(
             lsh_candidate_pairs_against(
                 sigs_new, sigs_all, stats_out=band_stats
@@ -1017,7 +1069,12 @@ def run_canonicalize_phase(
         # path below consumes the NEW edges alone (they are the only
         # possible component merges on an additive increment)
         new_edges = materialize(new_edges)
-    if delta_ok and unchanged and _partition_ids(out_root, "edges"):
+    if (
+        delta_ok
+        and unchanged
+        and not heal_full
+        and _partition_ids(out_root, "edges")
+    ):
         # unchanged-unchanged pairs keep their prior verdict; every
         # edge touching a changed part is dropped (re-discovered via
         # the delta candidates if still a near-dup) — which also
@@ -1703,6 +1760,23 @@ def run_canonicalize_phase(
         if os.path.isdir(d):
             shutil.rmtree(d)
     _run_wave(state_tasks)
+    # Ghost-part state cleanup (ADVICE r5, medium): a deletion that
+    # emptied an entire pages_text part leaves that part's rows in the
+    # doc-keyed state tables forever — the dynamic state writes above
+    # have zero rows for it (nothing to overwrite with), the emptied-
+    # part rmtrees cover only the output tables, and once the new
+    # snapshot stops covering the part nothing ever touches it again.
+    # A later composed run reads the full canon_assignment, so a
+    # touched component would resurrect the deleted docs into
+    # entities/assignment — an RTBF leak. The vanished parts are
+    # exactly snapshot-minus-disk; clear their part dirs here, after
+    # the state wave (idempotent, crash-safe: a rerun recomputes the
+    # same set until the new snapshot lands).
+    for p in sorted(snap_parts - parts_on_disk):
+        for tbl in ("canon_signatures", "canon_assignment", "canon_doc_hash"):
+            d = os.path.join(out_root, tbl, f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     _lap("write_state")
 
     # commit accounting: ONE job over the three just-written tables

@@ -201,6 +201,74 @@ def test_short_circuit_integrity_guard_self_heals(spark, tmp_path_factory):
     assert s3.get("short_circuit") is True
 
 
+def test_edges_victim_heal_rebuilds_edges_from_signatures(
+    spark, tmp_path_factory
+):
+    """A corrupted EDGES table must not be recycled by the heal run:
+    the kept-edge reuse and the asymmetric candidate join both skip
+    unchanged-unchanged pairs by design, so a heal that trusts either
+    would certify the partial edges forever (ADVICE r5, high). The
+    repair must rebuild edges from the persisted signatures via the
+    full symmetric band join."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("canon_heal_edges"))
+    pages = generate_pages(
+        spark, 200, near_dup_fraction=0.3, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=BUCKETS)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+    before = _table_snapshot(spark, root)
+    assert s1["n_edges"] > 0
+
+    victim = _output_files(root)["edges"][0]
+    os.remove(victim)
+
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert "short_circuit" not in s2
+    assert s2["n_edges"] == s1["n_edges"]
+    assert _table_snapshot(spark, root) == before
+    s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=BUCKETS)
+    assert s3.get("short_circuit") is True
+
+
+def test_delta_path_detects_partial_edges_and_heals(
+    spark, tmp_path_factory
+):
+    """ADVICE r5 (high): a crash during the output write wave leaves a
+    partial edges table with the OLD manifest still in force; the next
+    run takes the DELTA path (new parts exist, so the zero-change
+    probe never fires) and must NOT reuse the partial kept edges —
+    the same count-vs-manifest probe has to guard the delta path."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("canon_delta_partial"))
+    pages = generate_pages(
+        spark, 304, near_dup_fraction=0.3, include_reference_eml=False
+    )
+    base = pages.where(F.col("page_id") < 300)
+    pipeline.run_extract_phase(spark, base, root, "e1", buckets=BUCKETS)
+    pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+
+    # simulate the crashed output wave: one edges file vanishes while
+    # the manifest keeps certifying the old counts
+    victim = _output_files(root)["edges"][0]
+    os.remove(victim)
+
+    # a real increment arrives -> the rerun is a DELTA run
+    new_pages = pages.where(F.col("page_id") >= 300)
+    process_micro_batch(new_pages, 0, root, "s1", buckets=BUCKETS)
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert "short_circuit" not in s2
+
+    # ground truth: the same corpus canonicalized from scratch
+    root2 = str(tmp_path_factory.mktemp("canon_delta_scratch"))
+    pipeline.run_extract_phase(spark, base, root2, "e1", buckets=BUCKETS)
+    process_micro_batch(new_pages, 0, root2, "s1", buckets=BUCKETS)
+    pipeline.run_canonicalize_phase(spark, root2, "c1", buckets=BUCKETS)
+    assert _table_snapshot(spark, root) == _table_snapshot(spark, root2)
+
+
 def test_integrity_repair_run_disables_partial_paths(
     spark, tmp_path_factory
 ):
@@ -291,8 +359,10 @@ def test_delta_triple_rewrite_touches_only_affected_canonical_parts(
 def test_delta_triple_rewrite_crash_is_idempotent(spark, tmp_path_factory):
     """A delta run crashing between the provenance (canon_triples_raw)
     overwrite and the canonical-triple overwrite must be fully healed
-    by the rerun: the src_id anti-join removes the crashed run's
-    already-remapped rows before re-adding them."""
+    by the rerun. Since the round-6 delta-path integrity probe
+    (ADVICE r5, high) the rerun DETECTS the crashed wave's uncertified
+    outputs (footer counts vs manifest) and repairs wholesale — no
+    partial path may recycle them."""
     B = 32
     root = str(tmp_path_factory.mktemp("canon_crash"))
     pages = generate_pages(
@@ -329,7 +399,9 @@ def test_delta_triple_rewrite_crash_is_idempotent(spark, tmp_path_factory):
         state["armed"] = False
 
     s3 = pipeline.run_canonicalize_phase(spark, root, "c3", buckets=B)
-    assert s3["delta"] is True and s3["triples_parts_rewritten"] is not None
+    # the crashed wave rewrote edges without committing accounting, so
+    # the rerun's integrity probe must refuse every partial path
+    assert s3["delta"] is True and s3["triples_parts_rewritten"] is None
     got = _table_snapshot(spark, root)
     s4 = pipeline.run_canonicalize_phase(
         spark, root, "c4", buckets=B, incremental=False

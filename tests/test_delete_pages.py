@@ -187,6 +187,55 @@ def test_delete_emptied_part_defeats_short_circuit_and_heals(
     pages.unpersist()
 
 
+def test_delete_emptied_part_purges_doc_state(spark, tmp_path_factory):
+    """ADVICE r5 (medium): emptying a whole pages_text part must not
+    leave its docs behind in the doc-keyed state tables — the heal
+    run's dynamic state writes have zero rows for the vanished part,
+    so without the explicit ghost-part cleanup the rows would sit
+    there forever and a later composed run could resurrect the
+    deleted urls into entities/assignment (an RTBF leak)."""
+    root = str(tmp_path_factory.mktemp("del_state"))
+    pages = generate_pages(
+        spark, 204, near_dup_fraction=0.25, include_reference_eml=False
+    ).cache()
+    base = pages.where(F.col("page_id") < 200)
+    pipeline.run(spark, base, root, "r1", buckets=BUCKETS)
+
+    part = int(pipeline._partition_ids(root, "pages_text")[0])
+    victims = [
+        r["url"]
+        for r in base.where(
+            F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).cast("int") == part
+        )
+        .select("url")
+        .collect()
+    ]
+    assert victims
+    pipeline.delete_pages(spark, root, victims, "del1", buckets=BUCKETS)
+    pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+
+    for tbl in ("canon_signatures", "canon_assignment", "canon_doc_hash"):
+        assert not os.path.isdir(
+            os.path.join(root, tbl, f"part_id={part}")
+        ), tbl
+    assign = sinks.read_table(spark, root, "canon_assignment")
+    assert assign.where(F.col("doc_id").isin(victims)).count() == 0
+
+    # an additive increment afterwards must keep the purge: no deleted
+    # url may reappear in assignment or entity member lists
+    new_pages = pages.where(F.col("page_id") >= 200)
+    process_micro_batch(new_pages, 0, root, "s1", buckets=BUCKETS)
+    pipeline.run_canonicalize_phase(spark, root, "c3", buckets=BUCKETS)
+    assign = sinks.read_table(spark, root, "canon_assignment")
+    assert assign.where(F.col("doc_id").isin(victims)).count() == 0
+    ents = sinks.read_table(spark, root, "entities")
+    resurrected = ents.where(
+        F.size(F.array_intersect(F.col("members"), F.array(*[F.lit(v) for v in victims]))) > 0
+    ).count()
+    assert resurrected == 0
+    pages.unpersist()
+
+
 def test_delete_bucket_mismatch_raises(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("del_mismatch"))
     pages = generate_pages(
@@ -198,16 +247,46 @@ def test_delete_bucket_mismatch_raises(spark, tmp_path_factory):
         pipeline.delete_pages(spark, root, [url], "del1", buckets=BUCKETS * 2)
 
 
-def test_delete_unknown_urls_is_noop(spark, tmp_path_factory):
+def test_delete_unknown_urls_rewrites_nothing_but_flips_target_tokens(
+    spark, tmp_path_factory
+):
+    """A deletion finding no hits rewrites NO data files — but it must
+    still commit (= flip the state token of) every on-disk TARGET
+    part: that is what makes a deletion re-runnable after a crash
+    between the partition rewrites and the manifest append (ADVICE
+    r5, medium — with the old no-op behavior the re-run found 0 hits,
+    committed nothing, and the stale derived tables could never heal).
+    Non-target parts' tokens stay untouched."""
     root = str(tmp_path_factory.mktemp("del_noop"))
     pages = generate_pages(
         spark, 60, near_dup_fraction=0.0, include_reference_eml=False
     )
     pipeline.run_extract_phase(spark, pages, root, "r1", buckets=BUCKETS)
     tokens_before = sinks.pages_state_tokens(spark, root, "pages_text")
+    files_before = {
+        p: sorted(
+            os.listdir(os.path.join(root, "pages_text", f"part_id={p}"))
+        )
+        for p in pipeline._partition_ids(root, "pages_text")
+    }
+    unknown = "https://nowhere.example/x"
+    target = _part_of(unknown, spark)
     stats = pipeline.delete_pages(
-        spark, root, ["https://nowhere.example/x"], "del1", buckets=BUCKETS
+        spark, root, [unknown], "del1", buckets=BUCKETS
     )
     assert stats["rows_deleted"] == {"pages_text": 0, "triples": 0}
     assert stats["parts_rewritten"] == {"pages_text": [], "triples": []}
-    assert sinks.pages_state_tokens(spark, root, "pages_text") == tokens_before
+    # no data file moved anywhere
+    files_after = {
+        p: sorted(
+            os.listdir(os.path.join(root, "pages_text", f"part_id={p}"))
+        )
+        for p in pipeline._partition_ids(root, "pages_text")
+    }
+    assert files_after == files_before
+    tokens_after = sinks.pages_state_tokens(spark, root, "pages_text")
+    for p, tok in tokens_before.items():
+        if p == target:
+            assert tokens_after[p] != tok
+        else:
+            assert tokens_after[p] == tok
