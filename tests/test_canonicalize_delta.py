@@ -115,6 +115,41 @@ def test_delta_canonicalize_reshingles_only_changed_parts_and_matches_scratch(
     assert _table_snapshot(spark, root) == want
 
 
+def test_delta_cycle_under_persist_materialize(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Cluster-seam hygiene (VERDICT r5 item 7): the two-wave commit
+    ordering and IVM equality must hold under
+    SPINNERET_MATERIALIZE=persist (the real-cluster pin mode — cached
+    lineage instead of localCheckpoint) exactly as under the default
+    local mode: a full run + additive delta + forced scratch must all
+    agree."""
+    monkeypatch.setenv("SPINNERET_MATERIALIZE", "persist")
+    root = str(tmp_path_factory.mktemp("canon_persist"))
+    pages = generate_pages(
+        spark, 300, near_dup_fraction=0.25, include_reference_eml=False
+    )
+    pipeline.run_extract_phase(spark, pages, root, "e1", buckets=BUCKETS)
+    s1 = pipeline.run_canonicalize_phase(spark, root, "c1", buckets=BUCKETS)
+    assert s1["delta"] is False
+
+    new_pages = generate_pages(
+        spark, 320, near_dup_fraction=0.25, include_reference_eml=False
+    ).where(F.col("page_id") >= 300)
+    process_micro_batch(new_pages, 0, root, "s1", buckets=BUCKETS)
+    s2 = pipeline.run_canonicalize_phase(spark, root, "c2", buckets=BUCKETS)
+    assert s2["delta"] is True
+    got = _table_snapshot(spark, root)
+
+    s3 = pipeline.run_canonicalize_phase(
+        spark, root, "c3", buckets=BUCKETS, incremental=False
+    )
+    assert _table_snapshot(spark, root) == got
+    assert (s2["n_entities"], s2["n_edges"], s2["n_canonical_triples"]) == (
+        s3["n_entities"], s3["n_edges"], s3["n_canonical_triples"]
+    )
+
+
 def test_parameter_change_falls_back_to_full(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("canon_params"))
     pages = generate_pages(
