@@ -146,9 +146,13 @@ def _fused_mentions(
             yield pd.DataFrame(data)
 
     # corpora this small arrive as one scan split — spread them over
-    # the cluster first or the kernel runs on a single core
-    n_parts = max(
-        2 * docs.sparkSession.sparkContext.defaultParallelism, 16
+    # the cluster first or the kernel runs on a single core; partition
+    # count scales with the corpus (≥~512 docs per Python task) so
+    # small inputs don't pay 64 tasks' worth of worker fixed costs
+    from spinneret_spark.operators.dedup import _kernel_partitions
+
+    n_parts = _kernel_partitions(
+        docs.count(), docs.sparkSession.sparkContext.defaultParallelism
     )
     return (
         docs.select(id_col, text_col)
