@@ -619,7 +619,16 @@ def minhash_signatures_pandas(
     fields = ", ".join(f"mh{i} long" for i in range(k))
     schema = f"id {id_type}, {fields}"
 
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
     def kernel(batches):
+        # token-hash memo shared across the task: web/templated corpora
+        # repeat tokens heavily (measured df ~94 on the bench corpus),
+        # so the crc32 cost drops from corpus-tokens to ~vocabulary —
+        # values are identical, the cache only removes recomputation
+        crc: dict[str, int] = {}
+        _crc32 = zlib.crc32
         for pdf in batches:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -628,17 +637,23 @@ def minhash_signatures_pandas(
                 toks = [t for t in text.split(" ") if t]
                 if len(toks) < n:
                     continue
-                th = np.array(
-                    [zlib.crc32(t.encode("utf-8")) for t in toks],
-                    dtype=np.int64,
-                ) % MERSENNE_P
+                th_list = []
+                for t in toks:
+                    h = crc.get(t)
+                    if h is None:
+                        h = _crc32(t.encode("utf-8"))
+                        crc[t] = h
+                    th_list.append(h)
+                th = np.array(th_list, dtype=np.int64) % MERSENNE_P
                 win = th[: len(th) - n + 1].copy()
                 for j in range(1, n):
                     win = win * 31 + th[j : len(th) - n + 1 + j]
                 win = np.unique(win % MERSENNE_P)
+                # all k permutation minima in one matrix op (identical
+                # integers to the per-permutation loop)
                 out_ids.append(doc_id)
                 out_sigs.append(
-                    [int(((a * win + b) % MERSENNE_P).min()) for a, b in params]
+                    ((a_vec * win[None, :] + b_vec) % MERSENNE_P).min(axis=1)
                 )
             sig_arr = (
                 np.array(out_sigs, dtype=np.int64)
@@ -674,6 +689,9 @@ def shingle_hash_arrays_pandas(
     schema = f"id {id_type}, sh array<long>"
 
     def kernel(batches):
+        # same cross-task token-hash memo as the signature kernel
+        crc: dict[str, int] = {}
+        _crc32 = zlib.crc32
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -682,10 +700,14 @@ def shingle_hash_arrays_pandas(
                     ids.append(doc_id)
                     shs.append([])
                     continue
-                th = np.array(
-                    [zlib.crc32(t.encode("utf-8")) for t in toks],
-                    dtype=np.int64,
-                ) % MERSENNE_P
+                th_list = []
+                for t in toks:
+                    h = crc.get(t)
+                    if h is None:
+                        h = _crc32(t.encode("utf-8"))
+                        crc[t] = h
+                    th_list.append(h)
+                th = np.array(th_list, dtype=np.int64) % MERSENNE_P
                 win = th[: len(th) - n + 1].copy()
                 for j in range(1, n):
                     win = win * 31 + th[j : len(th) - n + 1 + j]
