@@ -42,7 +42,6 @@ from spinneret_spark.operators.linking import (
     MENTIONS_PRED_LABEL,
 )
 from spinneret_spark.operators.mentions import (
-    detect_mentions,
     distinct_mentions,
     mention_doc_counts,
 )
