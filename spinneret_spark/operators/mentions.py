@@ -60,25 +60,56 @@ def detect_mentions(docs: DataFrame, vocab: DataFrame, text_col: str = "text",
     ).select(id_col, "pos", "surface", "subject_id")
 
 
+#: below this corpus size the JVM broadcast-join plan's fixed cost is
+#: lower than any Python crossing's (measured at sf0.1/5k docs: the
+#: kernel's worker+Arrow floor is ~0.3-0.4 s the codegen plan never
+#: pays); above it the kernel's shuffle-free shape wins (sf1.0/50k:
+#: 2.65 → 1.25 s). Env-overridable, data-adaptive — the same kind of
+#: statistics-driven plan choice AQE makes at runtime.
+_KERNEL_MIN_DOCS = 16_000
+
+
+def _use_kernel(docs: DataFrame, impl: str) -> bool:
+    import os
+
+    if impl == "kernel":
+        return True
+    if impl == "join":
+        return False
+    floor = int(
+        os.environ.get("SPINNERET_MENTION_KERNEL_MIN_DOCS", _KERNEL_MIN_DOCS)
+    )
+    return docs.count() >= floor
+
+
 def distinct_mentions(
     docs: DataFrame,
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "auto",
 ) -> DataFrame:
-    """DISTINCT (id, subject_id, term) mention triples in one Arrow
-    crossing — the fused twin of
+    """DISTINCT (id, subject_id, term) mention triples — the fused
+    twin of
     ``detect_mentions(...).select(id, subject_id, surface).distinct()``.
 
-    Because ``id`` is part of the distinct key, per-document dedup IS
-    the global distinct, so the posexplode (corpus tokens ×1 row
-    each), the broadcast join, and the distinct's corpus shuffle all
-    collapse into a per-doc set lookup against the collected
-    vocabulary (small by design — the same smallness the broadcast
-    join assumes). Label→id is a multimap: two vocabulary rows sharing
-    a label emit two mentions, exactly like the join. Row order is
-    unspecified (bag semantics, like the join plan)."""
-    return _fused_mentions(docs, vocab, text_col, id_col, counts=False)
+    ``impl="auto"`` (default) picks the plan from the corpus size:
+    large corpora take the Arrow kernel (because ``id`` is part of the
+    distinct key, per-document dedup IS the global distinct, so the
+    posexplode, the broadcast join, and the distinct's corpus shuffle
+    all collapse into a per-doc set lookup against the collected
+    vocabulary); small corpora keep the pure-JVM broadcast-join plan,
+    whose fixed cost is lower than any Python crossing's. Results are
+    identical either way (pytest-pinned): label→id is a multimap (two
+    vocabulary rows sharing a label emit two mentions, exactly like
+    the join) and row order is unspecified (bag semantics)."""
+    if _use_kernel(docs, impl):
+        return _fused_mentions(docs, vocab, text_col, id_col, counts=False)
+    return (
+        detect_mentions(docs, vocab, text_col=text_col, id_col=id_col)
+        .select(id_col, "subject_id", F.col("surface").alias("term"))
+        .distinct()
+    )
 
 
 def mention_doc_counts(
@@ -86,16 +117,25 @@ def mention_doc_counts(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, subject_id, term, n_occ) — one row per document×mention
     with its occurrence count: the per-doc partial aggregate of
-    ``detect_mentions``, fused into the same single Arrow crossing as
-    :func:`distinct_mentions`. ``groupBy(subject_id, term)`` over
-    these rows with ``count(*)``/``sum(n_occ)`` equals
+    ``detect_mentions``. ``groupBy(subject_id, term)`` over these rows
+    with ``count(*)``/``sum(n_occ)`` equals
     ``countDistinct(doc_id)``/``count(*)`` over the occurrence rows —
     the degree rollup shuffles one row per (doc, term) instead of one
-    per token occurrence."""
-    return _fused_mentions(docs, vocab, text_col, id_col, counts=True)
+    per token occurrence. Same size-adaptive plan choice as
+    :func:`distinct_mentions` (the small-corpus twin aggregates the
+    occurrence rows in the JVM; identical results, pytest-pinned)."""
+    if _use_kernel(docs, impl):
+        return _fused_mentions(docs, vocab, text_col, id_col, counts=True)
+    return (
+        detect_mentions(docs, vocab, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "subject_id", F.col("surface").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select(id_col, "subject_id", "term", "n_occ")
+    )
 
 
 def _fused_mentions(

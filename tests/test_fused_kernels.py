@@ -22,7 +22,12 @@ def test_distinct_mentions_matches_join_plan(spark):
         .distinct()
         .collect()
     )
-    got = sorted(tuple(r) for r in distinct_mentions(docs, vocab).collect())
+    got = sorted(
+        tuple(r)
+        for r in distinct_mentions(docs, vocab, impl="kernel").collect()
+    )
+    auto = sorted(tuple(r) for r in distinct_mentions(docs, vocab).collect())
+    assert auto == want
     assert got == want and got
 
 
@@ -45,17 +50,21 @@ def test_mention_doc_counts_matches_occurrence_agg(spark):
         )
         .collect()
     )
-    got = sorted(
-        tuple(r)
-        for r in mention_doc_counts(docs, vocab)
-        .groupBy("subject_id", "term")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_occ").alias("n_mentions"),
+    def rollup(m):
+        return sorted(
+            tuple(r)
+            for r in m.groupBy("subject_id", "term")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_occ").alias("n_mentions"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    got = rollup(mention_doc_counts(docs, vocab, impl="kernel"))
+    auto = rollup(mention_doc_counts(docs, vocab))  # join impl at 500 docs
     assert got == want and got
+    assert auto == want
 
 
 def test_cosine_kernel_bit_identical(spark):
